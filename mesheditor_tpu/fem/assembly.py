@@ -1,0 +1,229 @@
+"""FEM assembly for isotropic linear elasticity over quadratic (10-node) tets, TPU-first.
+
+Instead of the reference's triplet-assembled sparse CSC matrices consumed by a host
+Cholesky (src/audio/mesh2modes.cpp:273-327), the pencil (K, M) here stays in *element form*:
+
+- a dense (E, 30, 30) array of per-element stiffness blocks, and
+- the element volumes (mass matrices are rank-one in the element: rho*V[e] * kron(mass, I3)).
+
+Operator application y = K @ x is gather -> batched 30x30 matmul (MXU) -> segment-sum
+scatter. This is the TPU-native equivalent of a sparse matvec: dense, batched, static-shaped,
+and the whole eigensolver runs on it matrix-free. Multi-vector panels (n, p) make the batched
+matmul genuinely MXU-shaped.
+
+Element stiffness blocks (node pair a, c; displacement components p, q):
+    K[(a,p),(c,q)] = V * (lambda * G[p,q] + mu * G[q,p] + delta_pq * mu * tr(G))
+with G[p,q] = sum_{k,l} grad_tab[a,k,c,l] * Phig[k,p] * Phig[l,q], where Phig are the
+linear-tet barycentric gradients in physical coordinates. Mass:
+    M[(a,p),(c,q)] = rho * V * mass_tab[a,c] * delta_pq.
+These are the standard quadratic-tet forms; semantics match the reference assembly
+(src/audio/mesh2modes.cpp:128-327).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import AcousticMaterialProperties
+from .quad_basis import quad_basis
+from .quad_mesh import QuadMesh
+
+
+def filter_degenerate(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Drop degenerate elements whose inverse-determinant basis gradients would poison the
+    stiffness matrix (reference: src/audio/mesh2modes.cpp:42-60). Returns the kept tets."""
+    points = np.asarray(points, dtype=np.float64)
+    tets = np.asarray(tets, dtype=np.int64)
+    v = points[tets]  # (E, 4, 3)
+    r = v[:, 1:] - v[:, :1]  # (E, 3, 3)
+    det = np.abs(np.einsum("ei,ei->e", r[:, 0], np.cross(r[:, 1], r[:, 2])))
+    # Longest edge (squared) across all 6 vertex pairs.
+    lmax_sq = np.zeros(tets.shape[0])
+    for i in range(4):
+        for j in range(i + 1, 4):
+            d = v[:, i] - v[:, j]
+            lmax_sq = np.maximum(lmax_sq, np.einsum("ei,ei->e", d, d))
+    keep = det > 1e-12 * lmax_sq * np.sqrt(lmax_sq)
+    return tets[keep].astype(np.uint32)
+
+
+@dataclass(frozen=True)
+class ElementOperators:
+    """Matrix-free pencil (K, M) in element form. All arrays are device-ready.
+
+    Fields:
+      elem_dofs: (E, 30) int32 — global dof of each element-local dof (3*node + component)
+      k_blocks:  (E, 30, 30) — per-element stiffness
+      rho_vol:   (E,) — density * element volume
+      m_unit:    (30, 30) — kron(mass_tab, I3), shared by every element
+      n_dofs:    int (static)
+    """
+
+    elem_dofs: jax.Array
+    k_blocks: jax.Array
+    rho_vol: jax.Array
+    m_unit: jax.Array
+    n_dofs: int
+
+    def kmat(self, x: jax.Array) -> jax.Array:
+        return _apply_k(self.elem_dofs, self.k_blocks, x, self.n_dofs)
+
+    def mmat(self, x: jax.Array) -> jax.Array:
+        return _apply_m(self.elem_dofs, self.rho_vol, self.m_unit, x, self.n_dofs)
+
+
+jax.tree_util.register_dataclass(
+    ElementOperators,
+    data_fields=("elem_dofs", "k_blocks", "rho_vol", "m_unit"),
+    meta_fields=("n_dofs",),
+)
+
+
+def _gather(elem_dofs, x):
+    # x: (n,) or (n, p) -> (E, 30) or (E, 30, p)
+    return x[elem_dofs]
+
+
+def _scatter(ye, elem_dofs, n_dofs):
+    flat_ids = elem_dofs.reshape(-1)
+    flat = ye.reshape((flat_ids.shape[0],) + ye.shape[2:])  # (E*30,) or (E*30, p)
+    return jax.ops.segment_sum(flat, flat_ids, num_segments=n_dofs)
+
+
+def _apply_k(elem_dofs, k_blocks, x, n_dofs):
+    if x.ndim == 1:
+        xe = _gather(elem_dofs, x)  # (E, 30)
+        ye = jnp.einsum("eij,ej->ei", k_blocks, xe)
+    else:
+        xe = _gather(elem_dofs, x)  # (E, 30, p)
+        ye = jnp.einsum("eij,ejp->eip", k_blocks, xe)
+    return _scatter(ye, elem_dofs, n_dofs)
+
+
+def _apply_m(elem_dofs, rho_vol, m_unit, x, n_dofs):
+    if x.ndim == 1:
+        xe = _gather(elem_dofs, x)
+        ye = rho_vol[:, None] * jnp.einsum("ij,ej->ei", m_unit, xe)
+    else:
+        xe = _gather(elem_dofs, x)
+        ye = rho_vol[:, None, None] * jnp.einsum("ij,ejp->eip", m_unit, xe)
+    return _scatter(ye, elem_dofs, n_dofs)
+
+
+def _element_basis(points: jax.Array, tets: jax.Array):
+    """Per-element volume and linear barycentric gradients Phig (E, 4, 3)."""
+    v = points[tets]  # (E, 4, 3)
+    d1 = v[:, 1] - v[:, 0]
+    d2 = v[:, 2] - v[:, 0]
+    d3 = v[:, 3] - v[:, 0]
+    det = jnp.einsum("ei,ei->e", d1, jnp.cross(d2, d3))  # signed 6V
+    inv_det = 1.0 / det
+    g1 = jnp.cross(d2, d3) * inv_det[:, None]
+    g2 = jnp.cross(d3, d1) * inv_det[:, None]
+    g3 = jnp.cross(d1, d2) * inv_det[:, None]
+    g0 = -(g1 + g2 + g3)
+    phig = jnp.stack([g0, g1, g2, g3], axis=1)  # (E, 4, 3)
+    volume = jnp.abs(det) / 6.0
+    return volume, phig
+
+
+@partial(jax.jit, static_argnames=("n_dofs", "chunk"))
+def _build_k_blocks(points, tets, grad_tab, lam, mu, n_dofs, chunk=4096):
+    volume, phig = _element_basis(points, tets)
+
+    def one_chunk(args):
+        vol_c, phig_c = args
+        # G[e, a, c, p, q] = sum_kl grad_tab[a,k,c,l] phig[e,k,p] phig[e,l,q]
+        g = jnp.einsum("akcl,ekp,elq->eacpq", grad_tab, phig_c, phig_c)
+        tr = jnp.einsum("eacpp->eac", g)
+        eye3 = jnp.eye(3, dtype=g.dtype)
+        k = lam * g + mu * jnp.swapaxes(g, -1, -2) + mu * tr[..., None, None] * eye3
+        k = k * vol_c[:, None, None, None, None]
+        # (e, a, c, p, q) -> (e, a, p, c, q) -> (e, 30, 30); dof layout is 3*node + component
+        k = jnp.transpose(k, (0, 1, 3, 2, 4))
+        return k.reshape(k.shape[0], 30, 30)
+
+    e = tets.shape[0]
+    pad = (-e) % chunk
+    vol_p = jnp.pad(volume, (0, pad))
+    phig_p = jnp.pad(phig, ((0, pad), (0, 0), (0, 0)))
+    vol_b = vol_p.reshape(-1, chunk)
+    phig_b = phig_p.reshape(-1, chunk, 4, 3)
+    k_all = jax.lax.map(one_chunk, (vol_b, phig_b))
+    return k_all.reshape(-1, 30, 30)[:e], volume
+
+
+def _build_k_blocks_host(points, tets, grad_tab, lam, mu):
+    """numpy fallback for the CPU backend, where XLA executes the tiny-dimension einsums
+    pathologically slowly. Same math as `_build_k_blocks`."""
+    v = points[tets]
+    d1, d2, d3 = v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]
+    det = np.einsum("ei,ei->e", d1, np.cross(d2, d3))
+    inv_det = 1.0 / det
+    g1 = np.cross(d2, d3) * inv_det[:, None]
+    g2 = np.cross(d3, d1) * inv_det[:, None]
+    g3 = np.cross(d1, d2) * inv_det[:, None]
+    phig = np.stack([-(g1 + g2 + g3), g1, g2, g3], axis=1)
+    volume = np.abs(det) / 6.0
+    g = np.einsum("akcl,ekp,elq->eacpq", grad_tab, phig, phig, optimize=True)
+    tr = np.einsum("eacpp->eac", g)
+    eye3 = np.eye(3)
+    k = lam * g + mu * np.swapaxes(g, -1, -2) + mu * tr[..., None, None] * eye3
+    k *= volume[:, None, None, None, None]
+    k = np.transpose(k, (0, 1, 3, 2, 4)).reshape(-1, 30, 30)
+    return k, volume
+
+
+def assemble_element_matrices(
+    points: np.ndarray,
+    tets: np.ndarray,
+    material: AcousticMaterialProperties,
+    quad: QuadMesh,
+    dtype=jnp.float64,
+) -> ElementOperators:
+    """Build the element-form pencil operators for a (filtered) tet mesh."""
+    mass_tab, grad_tab = quad_basis()
+    lam = material.lame_lambda()
+    mu = material.lame_mu()
+    n_dofs = 3 * quad.node_count
+    tets_i32 = np.asarray(tets, dtype=np.int32)
+    if jax.default_backend() == "cpu":
+        k_blocks, volume = _build_k_blocks_host(
+            np.asarray(points, dtype=np.float64), tets_i32, grad_tab, lam, mu
+        )
+        k_blocks, volume = jnp.asarray(k_blocks), jnp.asarray(volume)
+    else:
+        k_blocks, volume = _build_k_blocks(
+            jnp.asarray(points, dtype=jnp.float64),
+            jnp.asarray(tets_i32),
+            jnp.asarray(grad_tab),
+            lam,
+            mu,
+            n_dofs,
+        )
+    m_unit = jnp.kron(jnp.asarray(mass_tab), jnp.eye(3))  # (30, 30)
+    nodes = jnp.asarray(quad.element_nodes.astype(np.int32))
+    elem_dofs = (3 * nodes[:, :, None] + jnp.arange(3, dtype=jnp.int32)).reshape(-1, 30)
+    return ElementOperators(
+        elem_dofs=elem_dofs,
+        k_blocks=k_blocks.astype(dtype),
+        rho_vol=(material.density * volume).astype(dtype),
+        m_unit=m_unit.astype(dtype),
+        n_dofs=n_dofs,
+    )
+
+
+def pencil_diagonals(ops: ElementOperators):
+    """diag(K) and diag(M), scattered from the element blocks (for Jacobi preconditioning)."""
+    e = ops.elem_dofs.shape[0]
+    k_diag_e = jnp.diagonal(ops.k_blocks, axis1=1, axis2=2)  # (E, 30)
+    m_diag_e = ops.rho_vol[:, None] * jnp.diagonal(ops.m_unit)[None, :]  # (E, 30)
+    flat_ids = ops.elem_dofs.reshape(-1)
+    k_diag = jax.ops.segment_sum(k_diag_e.reshape(-1), flat_ids, num_segments=ops.n_dofs)
+    m_diag = jax.ops.segment_sum(m_diag_e.reshape(-1), flat_ids, num_segments=ops.n_dofs)
+    return k_diag, m_diag

@@ -1,0 +1,154 @@
+"""Multi-chip scaling: jax.sharding over a device mesh with XLA collectives.
+
+The reference is a single-process desktop app whose concurrency is thread pools and SPSC
+rings (SURVEY.md §2.8); the TPU-native equivalents built here are:
+
+- tp (tensor-parallel analog): one large eigensolve shards its ELEMENTS over devices —
+  each device applies its element blocks to the replicated panel and a `psum` over the
+  scattered partials yields the full K@X / M@X. The Rayleigh-Ritz Gram matrices reduce the
+  same way. This parallelizes the dominant cost (element matvecs) over ICI.
+- dp (data-parallel analog): corpus-scale batch solves and the polyphonic render shard
+  the OBJECT axis — each device advances its own objects' resonators; the mix is a psum.
+
+All collectives are expressed with shard_map so they ride ICI, never the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp")) -> Mesh:
+    """A 2-D device mesh. With a prime or small count the tp axis degenerates to 1."""
+    devices = np.asarray(jax.devices()[: n_devices or len(jax.devices())])
+    n = devices.size
+    # Largest tp that divides n and is <= sqrt(n), so dp >= tp.
+    tp = 1
+    for cand in range(int(np.sqrt(n)), 0, -1):
+        if n % cand == 0:
+            tp = cand
+            break
+    dp = n // tp
+    return Mesh(devices.reshape(dp, tp), axis_names)
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int = 0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return np.pad(x, pad)
+
+
+def shard_elements(elem_dofs, k_blocks, rho_vol, mesh: Mesh, axis: str = "tp"):
+    """Pad the element arrays to a multiple of the axis size and place them sharded over
+    `axis`. Padding elements scatter into dof 0 with zero blocks (harmless adds)."""
+    n_shards = mesh.shape[axis]
+    e = elem_dofs.shape[0]
+    e_pad = ((e + n_shards - 1) // n_shards) * n_shards
+    elem_dofs = _pad_to(np.asarray(elem_dofs), e_pad)
+    k_blocks = _pad_to(np.asarray(k_blocks), e_pad)
+    rho_vol = _pad_to(np.asarray(rho_vol), e_pad)
+    sharding = NamedSharding(mesh, P(axis))
+    return (
+        jax.device_put(elem_dofs, sharding),
+        jax.device_put(k_blocks, sharding),
+        jax.device_put(rho_vol, sharding),
+    )
+
+
+def sharded_pencil_ops(mesh: Mesh, elem_dofs, k_blocks, rho_vol, m_unit, n_dofs, axis="tp"):
+    """Matrix-free K@X / M@X with elements sharded over `axis` and X replicated: each shard
+    computes its partial scatter, a psum completes the sum — the tensor-parallel analog of
+    the reference's single-threaded panel solve (mesh2modes.cpp:375)."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), None, None),
+        out_specs=P(),
+    )
+    def _kmat(ed, kb, rv, mu, x):
+        xe = x[ed]  # (E_shard, 30, p)
+        ye = jnp.einsum("eij,ejp->eip", kb, xe)
+        partial_sum = jax.ops.segment_sum(
+            ye.reshape(-1, ye.shape[-1]), ed.reshape(-1), num_segments=n_dofs
+        )
+        return jax.lax.psum(partial_sum, axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), None, None),
+        out_specs=P(),
+    )
+    def _mmat(ed, kb, rv, mu, x):
+        xe = x[ed]
+        ye = rv[:, None, None] * jnp.einsum("ij,ejp->eip", mu, xe)
+        partial_sum = jax.ops.segment_sum(
+            ye.reshape(-1, ye.shape[-1]), ed.reshape(-1), num_segments=n_dofs
+        )
+        return jax.lax.psum(partial_sum, axis)
+
+    def kmat(x):
+        return _kmat(elem_dofs, k_blocks, rho_vol, m_unit, x)
+
+    def mmat(x):
+        return _mmat(elem_dofs, k_blocks, rho_vol, m_unit, x)
+
+    return kmat, mmat
+
+
+def sharded_subspace_step(mesh: Mesh, kmat, mmat, axis="tp"):
+    """One Rayleigh-Ritz subspace-refinement step over the sharded pencil: the 'training
+    step' of the modal solver. X panel is replicated; the heavy matvecs run element-sharded
+    under `kmat`/`mmat` (which psum internally)."""
+
+    @jax.jit
+    def step(x, sigma):
+        kx = kmat(x)
+        mx = mmat(x)
+        # Gram matrices of the shifted pencil restricted to span(X).
+        a = x.T @ (kx - sigma * mx)
+        b = x.T @ mx
+        a = 0.5 * (a + a.T)
+        b = 0.5 * (b + b.T)
+        bw, bu = jnp.linalg.eigh(b)
+        good = bw > 1e-12 * jnp.max(jnp.abs(bw))
+        inv_sqrt = jnp.where(good, 1.0 / jnp.sqrt(jnp.where(good, bw, 1.0)), 0.0)
+        w = bu * inv_sqrt[None, :]
+        h = w.T @ a @ w
+        theta, q = jnp.linalg.eigh(0.5 * (h + h.T))
+        return x @ (w @ q), theta + sigma
+
+    return step
+
+
+def batched_render_step(mesh: Mesh, axis="dp"):
+    """Object-sharded resonator advance: each device renders its objects for one block and
+    the mono mix reduces with a psum — the data-parallel analog of the reference's
+    DealObjects worker split (ModalAudio.cpp:708-740), with the renderer-order summation
+    replaced by a deterministic collective."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), None),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    def step(z_re, z_im, c_re, c_im, out_gain, excite_t):
+        # excite_t: (S,) shared per-sample excitation row (strikes pre-projected per object
+        # are sharded via z/c in real use; this step carries the structure).
+        def body(carry, e_s):
+            zr, zi = carry
+            new_re = zr * c_re - zi * c_im + e_s
+            new_im = zr * c_im + zi * c_re
+            return (new_re, new_im), (out_gain[:, None] * new_im).sum()
+
+        (z_re, z_im), out = jax.lax.scan(body, (z_re, z_im), excite_t)
+        return z_re, z_im, jax.lax.psum(out, axis)
+
+    return step

@@ -1,0 +1,257 @@
+"""Generalized block eigensolver for the FEM pencil (K, M), TPU-native.
+
+Replaces the reference's sparse-Cholesky shift-invert Lanczos / warm-started subspace
+iteration (src/audio/mesh2modes.cpp:329-512, CholeskyShiftInvert.cpp) with LOBPCG on the
+pencil: no sparse factorization exists on TPU, so the shift-invert role moves into the
+preconditioner — a fixed-iteration Jacobi-PCG solve of (K - sigma*M) z = r, with the same
+negative shift sigma = -(2*pi*min_freq)^2 that keeps the operator positive definite.
+
+Split of labor (the TPU-idiomatic shape of the algorithm):
+- DEVICE (jitted, panel-sized): all operator applications — element-form K/M matvecs
+  (batched 30x30 matmuls + segment-sum), the blocked PCG preconditioner, panel
+  projections/normalizations, and the 3p x 3p Gram matrices.
+- HOST (numpy/LAPACK, O(p^3)): the reduced Rayleigh-Ritz eigenproblem. The backend's own
+  eigh (a QDWH-style iteration) returns NaNs on RR matrices whose spectrum mixes a
+  converged near-zero cluster with 1e8-scale values, and the TPU runtime here has no host
+  callbacks — so the small dense solve lives between the two jitted stages instead. The
+  traffic is only the Gram matrices down and the (3p, p) recombination weights up.
+
+Panels stay on device across the whole solve; K X and M X are carried through the
+recombination (ks @ c, ms @ c) so each iteration applies the pencil only to the W and P
+blocks. Warm starts seed the panel with a prior basis, reproducing the reference's
+SolveReuse semantics (mesh2modes.h:63-68).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class LobpcgResult:
+    eigenvalues: np.ndarray  # (nev,), ascending; empty when convergence failed
+    eigenvectors: np.ndarray  # (n, nev), M-orthonormal
+    iterations: int = 0
+    op_applications: int = 0  # pencil matvec panels applied (K or K-sigma*M)
+    residual_norms: Optional[np.ndarray] = None
+
+
+def _col_dots(a, b):
+    return jnp.einsum("np,np->p", a, b)
+
+
+def _pcg_block(apply_a, inv_diag, b, iters):
+    """Fixed-iteration Jacobi-preconditioned CG for A X = B, columns independent, X0 = 0."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = inv_diag[:, None] * r
+    p = z
+    rz = _col_dots(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        ap = apply_a(p)
+        p_ap = _col_dots(p, ap)
+        alpha = jnp.where(p_ap > 0, rz / jnp.where(p_ap == 0, 1.0, p_ap), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * ap
+        z = inv_diag[:, None] * r
+        rz_new = _col_dots(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = z + beta[None, :] * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
+def _solve_reduced(a: np.ndarray, b: np.ndarray, p_want: int):
+    """Host Rayleigh-Ritz: lowest p_want Ritz pairs of the reduced pencil (a, b).
+
+    Whitens by b's eigendecomposition with a loose cutoff (whitening by 1/sqrt of a
+    barely-alive Gram eigenvalue amplifies noise into the spectrum); masked directions get
+    a scale-relative above-spectrum penalty so they sort past the wanted window while
+    LAPACK never sees values spanning hundreds of orders of magnitude. Returns
+    (theta (p_want,), c (q, p_want)) with c B-orthonormal on live directions."""
+    a = 0.5 * (a + a.T)
+    b = 0.5 * (b + b.T)
+    bw, bu = np.linalg.eigh(b)
+    b_max = max(float(np.abs(bw).max()), 1e-300)
+    good = bw > 1e-8 * b_max
+    inv_sqrt = np.where(good, 1.0 / np.sqrt(np.where(good, bw, 1.0)), 0.0)
+    w = bu * inv_sqrt[None, :]
+    h = w.T @ a @ w
+    h = 0.5 * (h + h.T)
+    penalty = 10.0 * float(np.abs(h).max()) + 1.0
+    h[np.diag_indices_from(h)] += np.where(good, 0.0, penalty)
+    theta, q = np.linalg.eigh(h)
+    c = w @ q
+    return theta[:p_want], np.ascontiguousarray(c[:, :p_want])
+
+
+def lobpcg_pencil(
+    kmat: Callable,
+    mmat: Callable,
+    k_diag: jax.Array,
+    m_diag: jax.Array,
+    n: int,
+    nev: int,
+    *,
+    sigma: float,
+    x0: Optional[np.ndarray] = None,
+    guard: int = 15,
+    tol: float = 1e-8,
+    max_iters: int = 100,
+    inner_iters: int = 24,
+    refresh_every: int = 25,
+    seed: int = 20260710,
+    callback: Optional[Callable[[int, int], bool]] = None,
+) -> LobpcgResult:
+    """Lowest `nev` eigenpairs of K x = lambda M x.
+
+    kmat/mmat apply the operators to (n, p) panels. `sigma` (negative) shifts the
+    preconditioner pencil. `x0` (n, >=1) seeds the leading panel columns (warm start).
+    Convergence mirrors the reference's settling criterion (SubspaceIterate,
+    mesh2modes.cpp:403-410): the leading prefix of pairs whose relative eigenvalue change
+    (against max(|lambda|, |sigma|)) stays under `tol`. `callback(iteration, settled)` may
+    return True to cancel — an empty result, the JobMonitor contract of the reference.
+    """
+    p = min(nev + guard, n)
+    dtype = k_diag.dtype
+
+    inv_diag = 1.0 / (k_diag - sigma * m_diag)
+
+    def apply_shifted(x):
+        return kmat(x) - sigma * mmat(x)
+
+    def precond(r):
+        return _pcg_block(apply_shifted, inv_diag, r, inner_iters)
+
+    def normalize_cols(block, mb):
+        """Scale columns to unit M-norm; columns with no mass become exact zeros."""
+        cn = _col_dots(block, mb)
+        live = cn > 1e-300
+        d = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, cn, 1.0)), 0.0)
+        return block * d[None, :], mb * d[None, :]
+
+    @jax.jit
+    def init_stage(x):
+        mx = mmat(x)
+        x, mx = normalize_cols(x, mx)
+        kx = kmat(x)
+        a = x.T @ kx
+        b = x.T @ mx
+        return x, kx, mx, a, b
+
+    @jax.jit
+    def step_stage(x, kx, mx, theta, pdir, have_p):
+        # Residuals of the current Ritz pairs; preconditioned residuals form W.
+        r = kx - mx * theta[None, :]
+        res_norm = jnp.sqrt(_col_dots(r, r))
+        w = precond(r)
+        # Project W M-orthogonal to X (X is M-orthonormal by construction). Columns that
+        # collapse below 1e-7 of their pre-projection M-norm are numerically inside span(X)
+        # — orthonormalizing them would amplify cancellation noise into the trial space
+        # (the post-convergence NaN failure mode), so they zero out instead.
+        mw = mmat(w)
+        pre2 = _col_dots(w, mw)
+        w = w - x @ (mx.T @ w)
+        mw = mmat(w)
+        post2 = _col_dots(w, mw)
+        live = post2 > 1e-14 * jnp.maximum(pre2, 1e-300)
+        w = jnp.where(live[None, :], w, 0.0)
+        mw = jnp.where(live[None, :], mw, 0.0)
+        w, mw = normalize_cols(w, mw)
+        kw = kmat(w)
+
+        pdir = jnp.where(have_p, pdir, jnp.zeros_like(pdir))
+        mp = mmat(pdir)
+        pre2p = _col_dots(pdir, mp)
+        pdir_o = pdir - x @ (mx.T @ pdir)
+        mp = mmat(pdir_o)
+        post2p = _col_dots(pdir_o, mp)
+        livep = post2p > 1e-14 * jnp.maximum(pre2p, 1e-300)
+        pdir_o = jnp.where(livep[None, :], pdir_o, 0.0)
+        mp = jnp.where(livep[None, :], mp, 0.0)
+        pdir_o, mp = normalize_cols(pdir_o, mp)
+        kp = kmat(pdir_o)
+
+        # W/P cross-correlations are absorbed by the host whitening, not projected here.
+        s = jnp.concatenate([x, w, pdir_o], axis=1)
+        ks = jnp.concatenate([kx, kw, kp], axis=1)
+        ms = jnp.concatenate([mx, mw, mp], axis=1)
+        a = s.T @ ks
+        b = s.T @ ms
+        return s, ks, ms, a, b, res_norm
+
+    @jax.jit
+    def recombine(s, ks, ms, c, c_wp):
+        # K X and M X carry through the linear recombination — the pencil is only ever
+        # applied to the W/P blocks.
+        return s @ c, ks @ c, ms @ c, s @ c_wp
+
+    @jax.jit
+    def refresh(x):
+        return kmat(x), mmat(x)
+
+    # Seed: warm basis columns, then fixed-seed gaussian fill (same determinism discipline
+    # as the reference's SubspaceIterate rng seed, mesh2modes.cpp:354).
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (n, p), dtype=dtype)
+    if x0 is not None and x0.size:
+        seeded = min(x0.shape[1], p)
+        x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
+
+    x, kx, mx, a, b = init_stage(x)
+    theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
+    zeros_c = np.zeros_like(c_np)
+    x, kx, mx, pdir = recombine(x, kx, mx, jnp.asarray(c_np), jnp.asarray(zeros_c))
+    theta = jnp.asarray(theta_np)
+    ops = 3  # init + recombined products
+    prev = np.full(p, np.inf)
+    iterations = 0
+    res_norm = None
+
+    for it in range(max_iters):
+        have_p = jnp.asarray(it > 0)
+        s, ks, ms, a, b, res_norm = step_stage(x, kx, mx, theta, pdir, have_p)
+        ops += 4 + 2 * inner_iters
+        theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
+        iterations = it + 1
+        lam = theta_np
+        if not np.isfinite(lam[:nev]).all():
+            # Numerical breakdown is a failed solve, like the reference's empty-modes path.
+            return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
+        c_wp = c_np.copy()
+        c_wp[:p, :] = 0.0  # P carries the W/P share of the update (LOBPCG momentum)
+        x, kx, mx, pdir = recombine(s, ks, ms, jnp.asarray(c_np), jnp.asarray(c_wp))
+        theta = jnp.asarray(theta_np)
+        if refresh_every and (it + 1) % refresh_every == 0:
+            kx, mx = refresh(x)  # shed recombination drift
+            ops += 2
+
+        rel = np.abs(lam[:nev] - prev[:nev]) / np.maximum(np.abs(lam[:nev]), abs(sigma))
+        prev = lam
+        settled = 0  # leading prefix of settled pairs
+        for v in rel:
+            if v < tol:
+                settled += 1
+            else:
+                break
+        if callback is not None and callback(iterations, settled):
+            return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
+        if settled >= nev:
+            return LobpcgResult(
+                lam[:nev].copy(),
+                np.asarray(x[:, :nev]),
+                iterations,
+                ops,
+                residual_norms=np.asarray(res_norm)[:nev],
+            )
+    # Convergence failed: empty eigenvalues, like the reference (mesh2modes.cpp:399,479).
+    return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)

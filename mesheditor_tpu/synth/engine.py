@@ -1,0 +1,398 @@
+"""Host orchestration of the modal synth: events, voices, track pool, block streaming.
+
+This is the TPU-native replacement for the reference's audio-thread machinery
+(src/audio/ModalAudio.{h,cpp}): the SPSC event ring, RCU bank publication, triple-buffered
+voice sets, and the render worker pool all dissolve into a single device-resident state
+advanced block-by-block by `render_block`. What remains host-side is the same *protocol*:
+
+- one-shot events (strike / silence) drain into the impact table between blocks;
+- sustained voices are republished whole each frame — a voice missing from the newest set
+  has ended; a publish gap past MAX_VOICE_IDLE_SECONDS silences the set (level-triggered
+  semantics, reference: AdoptVoices, ModalAudio.cpp:105-144);
+- surface tracks live in a content-keyed pool of 64 device rows; a slot is repointed only
+  when no live voice reads it (reference: AdoptSurfaceTrack, ModalAudio.h:261-301).
+
+Determinism: given the same sequence of events/publishes and block sizes, the output is
+bit-identical; given different block sizes, it is exact for the voice path (see render.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import ModalModes
+from .bank import (
+    BankParams,
+    BankState,
+    ImpactTable,
+    TrackPool,
+    VoiceTable,
+    build_bank,
+    tune_coeffs,
+)
+from .render import render_block
+from .tracks import RoughnessTrack, TRACK_SAMPLES
+
+# A voice this long without a fresh contact report ends itself
+# (reference: MaxVoiceIdleSeconds, ModalAudio.cpp:26).
+MAX_VOICE_IDLE_SECONDS = 0.1
+
+
+@dataclass
+class ModalEvent:
+    """One queued synthesis event (reference: ModalEvent, ModalAudio.h:61-70)."""
+
+    kind: str  # "impact" | "silence"
+    obj: int
+    expos: int = 0
+    j: tuple = (0.0, 0.0, 0.0)  # node-local impulse vector
+    pulse_step: float = 0.0  # per-sample phase increment of the contact pulse
+    pulse_gamma: float = 0.0  # contact pulse amplitude
+    accel_amp: float = 0.0  # acceleration-noise click amplitude
+
+
+@dataclass
+class ContactTrackSpec:
+    """One surface track a contact rides over (reference: ContactTrack, ModalAudio.h:33-40)."""
+
+    index: int = -1  # pool slot, -1 unused
+    rate: float = 0.0  # track samples advanced per output sample
+    sigma: float = 0.0  # height scale, m
+    window: float = 0.0  # contact-filter width, track samples
+    step: float = 0.0  # surface distance per output sample, m
+
+
+@dataclass
+class SustainedVoice:
+    """Published contact state (reference: SustainedState + VoiceSet::Voice,
+    ModalAudio.h:42-59,120-129). `voice_id` carries carry-state across frames."""
+
+    voice_id: int
+    obj: int
+    blend_points: tuple = (0, 0, 0)
+    blend_weights: tuple = (1.0, 0.0, 0.0)
+    normal: tuple = (0.0, 0.0, 0.0)
+    slip_dir: tuple = (0.0, 0.0, 0.0)
+    sweep_dir: tuple = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    normal_force: float = 0.0
+    friction: float = 0.0
+    stiffness: float = 0.0
+    static_penetration: float = 0.0
+    damping_coeff: float = 0.0
+    tracks: tuple = ()  # up to 4 ContactTrackSpec
+
+
+class ModalSynth:
+    """All modal synthesis state, device-resident, advanced one block at a time."""
+
+    def __init__(
+        self,
+        modes_list: Sequence[ModalModes],
+        gains: Optional[Sequence[float]] = None,
+        sample_rate: float = 48_000.0,
+        max_impacts: int = 128,
+        max_voices: int = 16,
+        track_slots: int = 64,
+    ):
+        self.params, self.state = build_bank(modes_list, gains, sample_rate)
+        self.sample_rate = float(sample_rate)
+        self.max_impacts = max_impacts
+        self.max_voices = max_voices
+        self.impacts = ImpactTable.empty(max_impacts)
+        self.voices = VoiceTable.empty(max_voices)
+        self.pool = TrackPool.empty(track_slots, TRACK_SAMPLES)
+        self._pool_keys: dict[int, int] = {}  # content key -> slot
+        self._pool_used: list[int] = []  # slots in use, oldest first
+        self._voice_ids: dict[int, int] = {}  # live voice id -> table row
+        self._pending_events: list[ModalEvent] = []
+        self._published: Optional[list[SustainedVoice]] = None
+        self._publish_fresh = False
+        self._idle_samples = 0
+        self._voices_reporting = False
+        # Live counters (reference: ActiveVoices/ActiveImpacts + drop counters,
+        # ModalAudio.h:204-206).
+        self.events_dropped = 0
+        self.voices_refused = 0
+        self.tracks_refused = 0
+        self.click_gain = 1.0
+        self.sustain_level = 1.0
+        self.coupling = 1.0
+
+    # ---- events (the SPSC ring analog) ----
+
+    def enqueue(self, event: ModalEvent) -> None:
+        self._pending_events.append(event)
+
+    def strike(self, obj, expos, impulse, contact_time_s, accel_amp=0.0) -> None:
+        """Queue a half-sine impact pulse of duration `contact_time_s` carrying `impulse`
+        (node-local 3-vector). gamma = pi/2 * step normalizes the pulse to unit integral so
+        the impulse magnitude rides in the gain rows (reference: TriggerModalStrike,
+        AudioSystem.cpp:753-767)."""
+        step = 1.0 / (contact_time_s * self.sample_rate)
+        self.enqueue(
+            ModalEvent(
+                kind="impact",
+                obj=obj,
+                expos=expos,
+                j=tuple(np.asarray(impulse, dtype=np.float64)),
+                pulse_step=step,
+                pulse_gamma=np.pi / 2 * step,
+                accel_amp=accel_amp,
+            )
+        )
+
+    def silence(self, obj: int) -> None:
+        self.enqueue(ModalEvent(kind="silence", obj=obj))
+
+    # ---- surface track pool ----
+
+    def adopt_track(self, key: int, make) -> int:
+        """The pool slot holding `key`'s track, or -1 when every slot is live. `make()`
+        returns a RoughnessTrack; only unread slots are repointed."""
+        if key in self._pool_keys:
+            return self._pool_keys[key]
+        n_slots = self.pool.heights.shape[0]
+        free = [s for s in range(n_slots) if s not in self._pool_keys.values()]
+        if free:
+            slot = free[0]
+        else:
+            live = set()
+            for v in self._voice_ids.values():
+                idx = np.asarray(self.voices.track_idx[v])
+                live.update(int(i) for i in idx if i >= 0)
+            if self._published:
+                for voice in self._published:
+                    for t in voice.tracks:
+                        if t.index >= 0:
+                            live.add(t.index)
+            reusable = [s for s in range(n_slots) if s not in live]
+            if not reusable:
+                self.tracks_refused += 1
+                return -1
+            slot = reusable[0]
+            self._pool_keys = {k: s for k, s in self._pool_keys.items() if s != slot}
+        track: RoughnessTrack = make()
+        n = self.pool.heights.shape[1]
+        h = np.zeros(n, np.float32)
+        s = np.zeros(n + 1, np.float32)
+        m = min(n, track.heights.shape[0])
+        h[:m] = track.heights[:m]
+        s[: m + 1] = track.sums[: m + 1]
+        self.pool = TrackPool(
+            heights=self.pool.heights.at[slot].set(jnp.asarray(h)),
+            sums=self.pool.sums.at[slot].set(jnp.asarray(s)),
+        )
+        self._pool_keys[key] = slot
+        return slot
+
+    # ---- voices (the triple-buffered voice-set analog) ----
+
+    def publish_voices(self, voices: Sequence[SustainedVoice]) -> None:
+        """Publish this frame's whole sustained-contact set. A contact already open keeps
+        its carried state; one the set omits ends; a new one opens."""
+        self._published = list(voices)
+        self._publish_fresh = True
+
+    def _adopt_voices(self) -> None:
+        published = self._published
+        if self._publish_fresh:
+            self._idle_samples = 0
+            self._publish_fresh = False
+        reporting = published is not None and self._idle_samples <= int(
+            self.sample_rate * MAX_VOICE_IDLE_SECONDS
+        )
+        named = {v.voice_id for v in published} if (reporting and published) else set()
+        v = self.voices
+        # End voices the newest set omits.
+        for vid in list(self._voice_ids):
+            if vid not in named:
+                row = self._voice_ids.pop(vid)
+                v = _clear_voice_row(v, row)
+        if reporting and published:
+            for voice in published:
+                if voice.obj >= self.params.coeff_re.shape[0]:
+                    continue
+                if voice.voice_id in self._voice_ids:
+                    row = self._voice_ids[voice.voice_id]
+                    v = _set_voice_state(v, row, voice, keep_carry=True)
+                else:
+                    row = _find_free_row(v, self.max_voices)
+                    if row is None:
+                        self.voices_refused += 1
+                        continue
+                    self._voice_ids[voice.voice_id] = row
+                    v = _set_voice_state(v, row, voice, keep_carry=False)
+        self.voices = v
+
+    def _drain_events(self) -> None:
+        imp = self.impacts
+        for e in self._pending_events:
+            if e.obj >= self.params.coeff_re.shape[0]:
+                continue
+            if e.kind == "impact" and e.pulse_step > 0:
+                free = np.flatnonzero(~np.asarray(imp.active))
+                if free.size == 0:
+                    self.events_dropped += 1
+                    continue
+                i = int(free[0])
+                imp = ImpactTable(
+                    active=imp.active.at[i].set(True),
+                    obj=imp.obj.at[i].set(e.obj),
+                    expos=imp.expos.at[i].set(e.expos),
+                    j=imp.j.at[i].set(jnp.asarray(e.j, jnp.float32)),
+                    pulse_step=imp.pulse_step.at[i].set(e.pulse_step),
+                    gamma=imp.gamma.at[i].set(e.pulse_gamma),
+                    accel_amp=imp.accel_amp.at[i].set(e.accel_amp),
+                    age=imp.age.at[i].set(0),
+                    total=imp.total.at[i].set(int(np.ceil(1.0 / e.pulse_step))),
+                )
+            elif e.kind == "silence":
+                # Clear the object's ringing state and drop its pulses/voices.
+                o = e.obj
+                self.state = BankState(
+                    z_re=self.state.z_re.at[o].set(0.0),
+                    z_im=self.state.z_im.at[o].set(0.0),
+                )
+                drop = np.asarray(imp.obj) == o
+                imp = ImpactTable(
+                    active=imp.active & jnp.asarray(~drop),
+                    obj=imp.obj, expos=imp.expos, j=imp.j, pulse_step=imp.pulse_step,
+                    gamma=imp.gamma, accel_amp=imp.accel_amp, age=imp.age, total=imp.total,
+                )
+                for vid, row in list(self._voice_ids.items()):
+                    if int(np.asarray(self.voices.obj[row])) == o and bool(
+                        np.asarray(self.voices.active[row])
+                    ):
+                        self.voices = _clear_voice_row(self.voices, row)
+                        del self._voice_ids[vid]
+        self._pending_events.clear()
+        self.impacts = imp
+
+    # ---- block render ----
+
+    def render(self, num_samples: int) -> np.ndarray:
+        """One block of mono modal synthesis (never blocks on anything but the device)."""
+        self._drain_events()
+        self._adopt_voices()
+        self.state, self.impacts, self.voices, out = render_block(
+            self.params,
+            self.state,
+            self.impacts,
+            self.voices,
+            self.pool,
+            num_samples,
+            self.click_gain,
+            self.sustain_level,
+            self.coupling,
+        )
+        self._idle_samples += num_samples
+        return np.asarray(out)
+
+    def render_seconds(self, seconds: float, block_size: int = 512) -> np.ndarray:
+        blocks = int(np.ceil(seconds * self.sample_rate / block_size))
+        return np.concatenate([self.render(block_size) for _ in range(blocks)])
+
+    @property
+    def active_impacts(self) -> int:
+        return int(np.asarray(self.impacts.active).sum())
+
+    @property
+    def active_voices(self) -> int:
+        return len(self._voice_ids)
+
+    def set_gain(self, obj: int, gain: float) -> None:
+        self.params = BankParams(
+            coeff_re=self.params.coeff_re,
+            coeff_im=self.params.coeff_im,
+            disp_scale=self.params.disp_scale,
+            shapes=self.params.shapes,
+            out_gain=self.params.out_gain.at[obj].set(gain),
+            sample_rate=self.params.sample_rate,
+        )
+
+    def retune(self, obj: int, freqs, t60s) -> None:
+        from .bank import tune_object
+
+        self.params = tune_object(self.params, obj, freqs, t60s)
+
+
+def _find_free_row(v: VoiceTable, capacity: int) -> Optional[int]:
+    free = np.flatnonzero(~np.asarray(v.active))
+    return int(free[0]) if free.size else None
+
+
+def _clear_voice_row(v: VoiceTable, row: int) -> VoiceTable:
+    return VoiceTable(
+        active=v.active.at[row].set(False),
+        obj=v.obj, blend_pts=v.blend_pts, blend_w=v.blend_w, normal=v.normal,
+        slip=v.slip, sweep=v.sweep, normal_force=v.normal_force, friction=v.friction,
+        stiffness=v.stiffness, static_pen=v.static_pen, damping=v.damping,
+        track_idx=v.track_idx.at[row].set(jnp.full(4, -1, jnp.int32)),
+        track_rate=v.track_rate, track_sigma=v.track_sigma,
+        track_window=v.track_window, track_step=v.track_step,
+        pos_base=v.pos_base,
+        age=v.age.at[row].set(0),
+        prev_height=v.prev_height.at[row].set(jnp.zeros(4, jnp.float32)),
+        relief_mean=v.relief_mean.at[row].set(0.0),
+        penetration=v.penetration.at[row].set(0.0),
+        primed=v.primed.at[row].set(False),
+    )
+
+
+def _set_voice_state(v: VoiceTable, row: int, s: SustainedVoice, keep_carry: bool) -> VoiceTable:
+    tracks = list(s.tracks)[:4] + [ContactTrackSpec()] * max(0, 4 - len(s.tracks))
+    idx = jnp.asarray([t.index for t in tracks], jnp.int32)
+    rate = jnp.asarray([t.rate for t in tracks], jnp.float32)
+    sigma = jnp.asarray([t.sigma for t in tracks], jnp.float32)
+    window = jnp.asarray([t.window for t in tracks], jnp.float32)
+    step = jnp.asarray([t.step for t in tracks], jnp.float32)
+    new = VoiceTable(
+        active=v.active.at[row].set(True),
+        obj=v.obj.at[row].set(s.obj),
+        blend_pts=v.blend_pts.at[row].set(jnp.asarray(s.blend_points, jnp.int32)),
+        blend_w=v.blend_w.at[row].set(jnp.asarray(s.blend_weights, jnp.float32)),
+        normal=v.normal.at[row].set(jnp.asarray(s.normal, jnp.float32)),
+        slip=v.slip.at[row].set(jnp.asarray(s.slip_dir, jnp.float32)),
+        sweep=v.sweep.at[row].set(jnp.asarray(s.sweep_dir, jnp.float32)),
+        normal_force=v.normal_force.at[row].set(s.normal_force),
+        friction=v.friction.at[row].set(s.friction),
+        stiffness=v.stiffness.at[row].set(s.stiffness),
+        static_pen=v.static_pen.at[row].set(s.static_penetration),
+        damping=v.damping.at[row].set(s.damping_coeff),
+        track_idx=v.track_idx.at[row].set(idx),
+        track_rate=v.track_rate.at[row].set(rate),
+        track_sigma=v.track_sigma.at[row].set(sigma),
+        track_window=v.track_window.at[row].set(window),
+        track_step=v.track_step.at[row].set(step),
+        pos_base=v.pos_base,
+        age=v.age,
+        prev_height=v.prev_height,
+        relief_mean=v.relief_mean,
+        penetration=v.penetration,
+        primed=v.primed,
+    )
+    if not keep_carry:
+        # A fresh voice: tracks of one contact start a quarter apart so two surfaces read
+        # one track at different positions (reference: StepVoice priming, ModalAudio.cpp:243-247).
+        offsets = jnp.asarray(
+            [i * TRACK_SAMPLES / 4.0 for i in range(4)], jnp.float64
+        )
+        new = VoiceTable(
+            active=new.active, obj=new.obj, blend_pts=new.blend_pts, blend_w=new.blend_w,
+            normal=new.normal, slip=new.slip, sweep=new.sweep,
+            normal_force=new.normal_force, friction=new.friction, stiffness=new.stiffness,
+            static_pen=new.static_pen, damping=new.damping,
+            track_idx=new.track_idx, track_rate=new.track_rate, track_sigma=new.track_sigma,
+            track_window=new.track_window, track_step=new.track_step,
+            pos_base=new.pos_base.at[row].set(offsets),
+            age=new.age.at[row].set(0),
+            prev_height=new.prev_height.at[row].set(jnp.zeros(4, jnp.float32)),
+            relief_mean=new.relief_mean.at[row].set(0.0),
+            penetration=new.penetration.at[row].set(0.0),
+            primed=new.primed.at[row].set(False),
+        )
+    return new

@@ -1,0 +1,194 @@
+"""Core configuration and result types.
+
+Names, defaults, and bounds mirror the reference's behavioral surface
+(/root/reference/src/audio/mesh2modes.h:17-61, AudioTypes.h:19-58, ModalModes.h:7-31,
+ContactModel.h:16-41) so a user of the reference finds the same knobs here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AcousticMaterialProperties:
+    """Isotropic linear-elastic material with Rayleigh damping.
+
+    Reference: src/audio/AcousticMaterialProperties.h.
+    """
+
+    density: float  # rho, kg/m^3
+    young_modulus: float  # E, Pa
+    poisson_ratio: float  # nu
+    alpha: float = 0.0  # Rayleigh mass-proportional damping, 1/s
+    beta: float = 0.0  # Rayleigh stiffness-proportional damping, s
+
+    def lame_lambda(self) -> float:
+        nu, e = self.poisson_ratio, self.young_modulus
+        return (nu * e) / ((1 + nu) * (1 - 2 * nu))
+
+    def lame_mu(self) -> float:
+        return self.young_modulus / (2 * (1 + self.poisson_ratio))
+
+
+@dataclass(frozen=True)
+class AcousticMaterial:
+    name: str
+    properties: AcousticMaterialProperties
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Modal solve parameterization. The eigensolver shift is -(2*pi*min_mode_freq)^2.
+
+    Defaults mirror the reference (src/audio/mesh2modes.h:17-26).
+    """
+
+    min_mode_freq: float = 20.0  # Hz
+    max_mode_freq: float = 16_000.0  # Hz
+    num_modes: int = 30  # Synthesized modes kept from the FEM eigenpairs
+    num_fem_modes: int = 45  # Eigenpairs requested from the eigensolver
+    tolerance: float = 1e-8  # Eigensolver convergence tolerance
+    warm_tolerance: float = 1e-4  # Warm-started re-solve tolerance
+    max_restarts: int = 100  # Eigensolver outer-iteration limit
+    fundamental_freq: Optional[float] = None  # Scale modes so the lowest sits here
+
+
+@dataclass
+class SolveProfile:
+    """Wall-clock seconds per solve stage, with problem-size counters.
+
+    Schema mirrors the reference's modal::SolveProfile (src/audio/mesh2modes.h:30-50);
+    `op_solve` is the shift-inverted (preconditioner) work, a subset of `iterate`.
+    """
+
+    mass_props: float = 0.0
+    quad_mesh: float = 0.0
+    assemble: float = 0.0
+    sample_excite: float = 0.0
+    factorize: float = 0.0  # Preconditioner setup (diagonal extraction) on TPU
+    iterate: float = 0.0
+    op_solve: float = 0.0
+    extract: float = 0.0
+    dofs: int = 0
+    stiffness_nonzeros: int = 0
+    op_applications: int = 0
+    restarts: int = 0
+
+    def __iadd__(self, o: "SolveProfile") -> "SolveProfile":
+        for f in (
+            "mass_props", "quad_mesh", "assemble", "sample_excite",
+            "factorize", "iterate", "op_solve", "extract",
+            "dofs", "stiffness_nonzeros", "op_applications", "restarts",
+        ):
+            setattr(self, f, getattr(self, f) + getattr(o, f))
+        return self
+
+
+@dataclass
+class TetMesh:
+    """Tetrahedral volume mesh. Every tet (a, b, c, d) should be positively oriented:
+    det[b-a, c-a, d-a] > 0 (reference: src/mesh/TetMesh.h:8-12). The FEM assembly is
+    robust to orientation (it uses |det|), matching the reference's use of fabs.
+    """
+
+    points: np.ndarray  # (n, 3) float64
+    tets: np.ndarray  # (m, 4) uint32
+
+    def __post_init__(self):
+        self.points = np.asarray(self.points, dtype=np.float64).reshape(-1, 3)
+        self.tets = np.asarray(self.tets, dtype=np.uint32).reshape(-1, 4)
+
+
+@dataclass
+class MassProperties:
+    """Rigid-body mass properties in SI units (reference: src/audio/ContactModel.h:16-23).
+
+    Mirrors KHR_audio_modal `massProperties`: principal moments plus the rotation of the
+    principal axes into node-local space (quaternion, wxyz order).
+    """
+
+    mass: float = 0.0  # kg
+    center_of_mass: np.ndarray = field(default_factory=lambda: np.zeros(3))  # node-local
+    inertia_diagonal: np.ndarray = field(default_factory=lambda: np.zeros(3))  # kg*m^2
+    inertia_orientation: np.ndarray = field(
+        default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0])
+    )  # quat wxyz, principal axes -> node-local
+
+
+@dataclass
+class ModalModes:
+    """A solved modal model (reference: src/audio/ModalModes.h:7-20).
+
+    `shapes` holds mass-normalized mode-shape 3-vectors indexed [sample_point][mode].
+    """
+
+    freqs: np.ndarray  # (k,) damped mode frequencies, Hz
+    t60s: np.ndarray  # (k,) decay times, s
+    shapes: np.ndarray  # (p, k, 3) mass-normalized shape vectors
+    vertices: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    positions: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.float32))
+    indices: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    original_fundamental_freq: float = 0.0  # unscaled FEM fundamental
+    baked_scale: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))
+
+    def __post_init__(self):
+        self.freqs = np.asarray(self.freqs, dtype=np.float32).reshape(-1)
+        self.t60s = np.asarray(self.t60s, dtype=np.float32).reshape(-1)
+        self.shapes = np.asarray(self.shapes, dtype=np.float32)
+        if self.original_fundamental_freq == 0.0 and self.freqs.size:
+            self.original_fundamental_freq = float(self.freqs[0])
+
+    @property
+    def num_modes(self) -> int:
+        return int(self.freqs.shape[0])
+
+
+@dataclass(frozen=True)
+class ModalGain:
+    """Per-instance output gain (reference: src/audio/ModalModes.h:23-25)."""
+
+    value: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModalTuning:
+    """Per-instance synth tuning (reference: src/audio/ModalModes.h:27-31)."""
+
+    fundamental_freq: float = 0.0  # 0 keeps the baked tuning; all modes shift proportionally
+    t60_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModalSolveSettings:
+    """Per-object solve inputs beyond the mesh and material
+    (reference: src/audio/AudioTypes.h:50-58)."""
+
+    num_vertices: int = 10
+    solve_resolution: float = 1.0  # fraction of surface triangles used for the solve
+    copy_sound_vertices: bool = True
+    quality_tets: bool = False
+    num_modes: int = 30
+    min_mode_freq: float = 20.0
+    max_mode_freq: float = 16_000.0
+
+
+@dataclass(frozen=True)
+class ModalSoundControls:
+    """Scene-level modal synthesis controls (reference: src/audio/AudioTypes.h:19-37)."""
+
+    max_impacts: int = 1024
+    modal_level: float = 0.5
+    click_gain: float = 1.0
+    sample_gain: float = 1.0
+    min_contact_impulse: float = 0.2  # kg*m/s
+    min_contact_speed: float = 0.1  # m/s
+    max_voices: int = 16
+    sustain_level: float = 1.0
+    coupling: float = 1.0
+    contact_damping: float = 1.0
+    min_slip_speed: float = 0.005  # m/s
+    min_sweep_speed: float = 0.005  # m/s

@@ -1,0 +1,9 @@
+"""Test substrate: the CPU backend with 8 virtual devices stands in for a TPU mesh
+(the reference's analogous discipline: headless/threadless property tests, SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,195 @@
+"""FEM layer oracles: exact basis integrals, assembly structure, mass properties.
+
+Modeled on the reference's closed-form-oracle discipline (tests/ModalSolverTest.cpp)."""
+
+import numpy as np
+import pytest
+
+import mesheditor_tpu  # noqa: F401  (enables x64)
+from mesheditor_tpu.fem import (
+    assemble_element_matrices,
+    build_quad_mesh,
+    compute_mass_properties,
+    filter_degenerate,
+    pencil_diagonals,
+    quad_basis,
+)
+from mesheditor_tpu.materials import CERAMIC
+from mesheditor_tpu.mesh import bar_tets
+from mesheditor_tpu.types import AcousticMaterialProperties
+
+import jax.numpy as jnp
+import jax
+
+
+def dense_from_elements(ops):
+    """Dense K, M scattered from element blocks (test-only oracle substrate)."""
+    n = ops.n_dofs
+    k = np.zeros((n, n))
+    m = np.zeros((n, n))
+    dofs = np.asarray(ops.elem_dofs)
+    kb = np.asarray(ops.k_blocks)
+    m_unit = np.asarray(ops.m_unit)
+    rv = np.asarray(ops.rho_vol)
+    for e in range(dofs.shape[0]):
+        ix = dofs[e]
+        k[np.ix_(ix, ix)] += kb[e]
+        m[np.ix_(ix, ix)] += rv[e] * m_unit
+    return k, m
+
+
+class TestQuadBasis:
+    def test_partition_of_unity_mass(self):
+        # sum_a N_a = 1, so sum over both indices of int N_a N_c / V = 1.
+        mass, _ = quad_basis()
+        assert abs(mass.sum() - 1.0) < 1e-14
+
+    def test_mass_symmetric(self):
+        mass, _ = quad_basis()
+        assert np.allclose(mass, mass.T, atol=0)
+
+    def test_grad_partition_of_unity(self):
+        # sum_a dN_a/dl_k = d/dl_k (1) = 0 termwise per k? Not per k (l's are dependent),
+        # but sum over a of N_a = 1 means sum_a dN_a/dl_k is the same for all k; verify
+        # the gradient table contracts to zero against any constant field: a rigid
+        # translation produces zero strain (checked in assembly test); here check symmetry.
+        _, grad = quad_basis()
+        assert np.allclose(grad, np.transpose(grad, (2, 3, 0, 1)), atol=0)
+
+    def test_corner_mass_value(self):
+        # int N_0^2 / V for N_0 = l0(2l0-1): expand to 4 l0^4 - 4 l0^3 + l0^2 and apply
+        # int l0^a / V = 6 * a! / (a+3)!: 4/35 - 4/20 + 1/10 = 1/70.
+        mass, _ = quad_basis()
+        assert abs(mass[0, 0] - 1.0 / 70.0) < 1e-15
+
+    def test_quadrature_oracle(self):
+        # Monte-Carlo-free quadrature check: evaluate int N_a N_c over the reference tet
+        # with a dense barycentric grid and compare (loose tolerance, smoke-level).
+        rng = np.random.default_rng(0)
+        pts = rng.dirichlet(np.ones(4), size=200_000)  # uniform over the simplex
+        l = pts
+        n_vals = np.empty((10, pts.shape[0]))
+        for i in range(4):
+            n_vals[i] = l[:, i] * (2 * l[:, i] - 1)
+        from mesheditor_tpu.fem.quad_basis import EDGE_CORNERS
+
+        for e, (i, j) in enumerate(EDGE_CORNERS):
+            n_vals[4 + e] = 4 * l[:, i] * l[:, j]
+        approx = n_vals @ n_vals.T / pts.shape[0]
+        mass, _ = quad_basis()
+        assert np.allclose(approx, mass, atol=2e-3)
+
+
+class TestAssembly:
+    @pytest.fixture(scope="class")
+    def bar(self):
+        mesh = bar_tets(0.3, 0.05, 0.05, 4, 2, 2)
+        mat = AcousticMaterialProperties(1000, 1e7, 0.0)
+        kept = filter_degenerate(mesh.points, mesh.tets)
+        quad = build_quad_mesh(kept, mesh.points.shape[0])
+        ops = assemble_element_matrices(mesh.points, kept, mat, quad)
+        return mesh, mat, quad, ops
+
+    def test_symmetry_and_mass_total(self, bar):
+        mesh, mat, quad, ops = bar
+        k, m = dense_from_elements(ops)
+        assert np.allclose(k, k.T, atol=1e-8 * np.abs(k).max())
+        assert np.allclose(m, m.T, atol=1e-14)
+        # Total mass: sum over all (x,x) entries of M = rho * V (partition of unity).
+        volume = 0.3 * 0.05 * 0.05
+        x_dofs = np.arange(0, ops.n_dofs, 3)
+        total = m[np.ix_(x_dofs, x_dofs)].sum()
+        assert abs(total - mat.density * volume) < 1e-9 * mat.density * volume
+
+    def test_rigid_modes_in_nullspace(self, bar):
+        """K annihilates rigid translations and infinitesimal rotations."""
+        mesh, mat, quad, ops = bar
+        # Quadratic node coordinates: corners then edge midpoints.
+        pts = mesh.points
+        nodes = np.asarray(ops.elem_dofs).reshape(-1, 10, 3)[:, :, 0] // 3  # (E, 10)
+        coords = np.zeros((quad.node_count, 3))
+        coords[: pts.shape[0]] = pts
+        # Mid-edge nodes: average of corner pair, recovered from element connectivity.
+        from mesheditor_tpu.fem.quad_basis import EDGE_CORNERS
+
+        en = np.asarray(nodes)
+        for e_idx, (i, j) in enumerate(EDGE_CORNERS):
+            mid_ids = en[:, 4 + e_idx]
+            coords[mid_ids] = 0.5 * (pts[en[:, i]] + pts[en[:, j]])
+
+        k, _ = dense_from_elements(ops)
+        scale = np.abs(k).max()
+        for t in np.eye(3):  # translations
+            u = np.tile(t, quad.node_count)
+            assert np.abs(k @ u).max() < 1e-9 * scale
+        for axis in np.eye(3):  # infinitesimal rotations u = axis x r
+            u = np.cross(np.broadcast_to(axis, coords.shape), coords).reshape(-1)
+            assert np.abs(k @ u).max() < 1e-8 * scale * max(np.abs(u).max(), 1)
+
+    def test_matvec_matches_dense(self, bar):
+        _, _, _, ops = bar
+        k, m = dense_from_elements(ops)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((ops.n_dofs, 3))
+        kx = np.asarray(ops.kmat(jnp.asarray(x)))
+        mx = np.asarray(ops.mmat(jnp.asarray(x)))
+        assert np.allclose(kx, k @ x, rtol=1e-10, atol=1e-8 * np.abs(k @ x).max())
+        assert np.allclose(mx, m @ x, rtol=1e-10, atol=1e-12)
+        # single-vector path
+        kx1 = np.asarray(ops.kmat(jnp.asarray(x[:, 0])))
+        assert np.allclose(kx1, k @ x[:, 0], rtol=1e-10, atol=1e-8 * np.abs(k @ x[:, 0]).max())
+
+    def test_diagonals(self, bar):
+        _, _, _, ops = bar
+        k, m = dense_from_elements(ops)
+        kd, md = pencil_diagonals(ops)
+        assert np.allclose(np.asarray(kd), np.diag(k), rtol=1e-12)
+        assert np.allclose(np.asarray(md), np.diag(m), rtol=1e-12)
+
+    def test_stiffness_positive_semidefinite(self, bar):
+        _, _, _, ops = bar
+        k, _ = dense_from_elements(ops)
+        w = np.linalg.eigvalsh(k)
+        assert w.min() > -1e-8 * w.max()
+
+
+class TestQuadMesh:
+    def test_bar_edge_count(self):
+        mesh = bar_tets(0.3, 0.05, 0.05, 2, 1, 1)
+        quad = build_quad_mesh(mesh.tets, mesh.points.shape[0])
+        # Unique edges of a Kuhn-subdivided 2x1x1 grid, counted independently.
+        edges = set()
+        for t in np.asarray(mesh.tets, dtype=np.int64):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    edges.add((min(t[i], t[j]), max(t[i], t[j])))
+        assert quad.node_count == mesh.points.shape[0] + len(edges)
+        # Every element's mid-edge node is shared consistently.
+        assert quad.element_nodes.shape == (mesh.tets.shape[0], 10)
+
+
+class TestMassProperties:
+    def test_box_mass_and_inertia(self):
+        # Lumped-vertex point masses of a box: total volume is exact; inertia approaches
+        # the solid-box values from the vertex distribution (coarse grid -> loose check).
+        mesh = bar_tets(0.2, 0.1, 0.1, 8, 4, 4)
+        mp = compute_mass_properties(mesh.points, mesh.tets, density=1000.0)
+        vol = 0.2 * 0.1 * 0.1
+        assert abs(mp.mass - 1000 * vol) < 1e-9 * 1000 * vol
+        assert np.allclose(mp.center_of_mass, [0.1, 0.05, 0.05], atol=1e-12)
+        # Solid box inertia about COM: m/12*(b^2+c^2) etc.
+        m = mp.mass
+        expected = sorted(
+            [m / 12 * (0.1**2 + 0.1**2), m / 12 * (0.2**2 + 0.1**2), m / 12 * (0.2**2 + 0.1**2)]
+        )
+        got = sorted(mp.inertia_diagonal)
+        for a, b in zip(got, expected):
+            assert abs(a - b) < 0.15 * b  # lumped point masses overestimate edges
+
+    def test_degenerate_filter_keeps_good_tets(self):
+        mesh = bar_tets(0.1, 0.1, 0.1, 2, 2, 2)
+        pts = np.concatenate([mesh.points, mesh.points[:1]])  # duplicate point
+        bad = np.array([[0, 1, 2, 2]], dtype=np.uint32)  # zero-volume tet
+        tets = np.concatenate([mesh.tets, bad])
+        kept = filter_degenerate(pts, tets)
+        assert kept.shape[0] == mesh.tets.shape[0]

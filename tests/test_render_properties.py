@@ -1,0 +1,240 @@
+"""Properties the render kernel must hold whatever the contact force model says.
+
+Each case compares two configurations rendered in one run, or asserts a property of one
+render; no case is written against a stored signal (the discipline of the reference's
+tests/ModalRenderTest.cpp — changing the model does not invalidate them).
+"""
+
+import numpy as np
+import pytest
+
+import mesheditor_tpu  # noqa: F401
+from mesheditor_tpu.synth import ContactTrackSpec, ModalSynth, SustainedVoice
+from mesheditor_tpu.synth.tracks import RoughnessTrack, TRACK_SAMPLES
+from mesheditor_tpu.types import ModalModes
+
+SAMPLE_RATE = 48_000.0
+BLOCK = 512
+SAMPLE_POINTS = 4
+
+# A contact at rest must reproduce k * delta0^(3/2) == N exactly, with no rounding.
+# Powers of two give that: 2^-18 m under 2^31 N/m^(3/2) meets 16 N.
+REST_PEN = 2.0**-18
+REST_STIFF = 2.0**31
+REST_LOAD = 2.0**4
+
+
+def make_track() -> RoughnessTrack:
+    """A track with content, so a read costs what it does in production."""
+    rng = np.random.default_rng(0x9E3779B9)
+    h = (rng.random(TRACK_SAMPLES, dtype=np.float64) * 2 - 1).astype(np.float32)
+    sums = np.zeros(TRACK_SAMPLES + 1, np.float32)
+    np.cumsum(h, out=sums[1:])
+    return RoughnessTrack(heights=h, sums=sums, spacing=1e-6, rms=1.0)
+
+
+def make_modes(mode_count: int, longest_t60: float) -> ModalModes:
+    freqs = 40.0 * np.arange(1, mode_count + 1) * 1.031
+    t60s = longest_t60 / np.arange(1, mode_count + 1)
+    shapes = np.zeros((SAMPLE_POINTS, mode_count, 3), np.float32)
+    for p in range(SAMPLE_POINTS):
+        a = np.arange(1, mode_count + 1) * 0.37 + p
+        shapes[p, :, 0] = np.sin(a) * 0.01
+        shapes[p, :, 1] = np.cos(a * 1.7) * 0.01
+        shapes[p, :, 2] = np.sin(a * 2.3) * 0.01
+    positions = np.stack([np.arange(SAMPLE_POINTS) * 0.01, np.zeros(SAMPLE_POINTS), np.zeros(SAMPLE_POINTS)], -1)
+    return ModalModes(freqs=freqs, t60s=t60s, shapes=shapes, positions=positions)
+
+
+def moving_contact(vid: int, obj: int, slot: int) -> SustainedVoice:
+    """A contact riding over both surfaces, as a scrape does."""
+    return SustainedVoice(
+        voice_id=vid,
+        obj=obj,
+        blend_points=(0, 1, 0),
+        blend_weights=(0.5, 0.5, 0.0),
+        normal=(0.0, 1.0, 0.0),
+        slip_dir=(1.0, 0.0, 0.0),
+        sweep_dir=((1.0, 0.0, 0.0), (0.0, 0.0, -1.0)),
+        normal_force=REST_LOAD,
+        friction=0.5,
+        stiffness=REST_STIFF,
+        static_penetration=REST_PEN,
+        damping_coeff=0.4,
+        tracks=tuple(
+            ContactTrackSpec(index=slot, rate=0.4, sigma=2e-7, window=8.0, step=4e-7)
+            for _ in range(4)
+        ),
+    )
+
+
+def resting_contact(vid: int, obj: int, slot: int) -> SustainedVoice:
+    """The same contact settled: no surface travel, no slip."""
+    v = moving_contact(vid, obj, slot)
+    return SustainedVoice(
+        voice_id=v.voice_id, obj=v.obj, blend_points=v.blend_points,
+        blend_weights=v.blend_weights, normal=v.normal,
+        slip_dir=(0.0, 0.0, 0.0), sweep_dir=((0.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+        normal_force=v.normal_force, friction=v.friction, stiffness=v.stiffness,
+        static_penetration=v.static_penetration, damping_coeff=v.damping_coeff,
+        tracks=tuple(
+            ContactTrackSpec(index=slot, rate=0.0, sigma=2e-7, window=8.0, step=0.0)
+            for _ in range(4)
+        ),
+    )
+
+
+def silent_contact(vid: int, obj: int) -> SustainedVoice:
+    """A contact pressing with nothing, which drives no mode however the model is written."""
+    return SustainedVoice(
+        voice_id=vid, obj=obj, blend_points=(0, 1, 0), blend_weights=(0.5, 0.5, 0.0),
+        normal=(0.0, 1.0, 0.0),
+    )
+
+
+def make_scene(object_count: int, mode_count: int, longest_t60: float) -> tuple[ModalSynth, int]:
+    modes = make_modes(mode_count, longest_t60)
+    synth = ModalSynth([modes] * object_count, gains=[1.0] * object_count, sample_rate=SAMPLE_RATE)
+    slot = synth.adopt_track(1, make_track)
+    return synth, slot
+
+
+def strike_all(synth: ModalSynth, impulse: float) -> None:
+    for o in range(synth.params.coeff_re.shape[0]):
+        # PulseStep 1/300, gamma 20 — matching the synthetic strike of the reference tests.
+        from mesheditor_tpu.synth import ModalEvent
+
+        synth.enqueue(
+            ModalEvent(
+                kind="impact", obj=o, expos=0, j=(impulse, 0.5 * impulse, 0.0),
+                pulse_step=1.0 / 300.0, pulse_gamma=20.0, accel_amp=0.0,
+            )
+        )
+
+
+def render_blocks(synth: ModalSynth, blocks: int, frames: int, publish=None) -> np.ndarray:
+    signal = np.zeros(blocks * frames, np.float32)
+    for b in range(blocks):
+        if publish is not None:
+            synth.publish_voices(publish)
+        signal[b * frames : (b + 1) * frames] = synth.render(frames)
+    return signal
+
+
+def peak(x) -> float:
+    return float(np.abs(x).max()) if x.size else 0.0
+
+
+def rms(x) -> float:
+    return float(np.sqrt(np.mean(np.square(x, dtype=np.float64))))
+
+
+class TestRenderProperties:
+    def test_contact_at_rest_excites_nothing(self):
+        # With slip and both sweeps zero and N constant, the excitation is zero, so a
+        # settled body is exactly silent however heavily it is loaded.
+        synth, slot = make_scene(1, 64, 0.2)
+        resting = [resting_contact(1, 0, slot)]
+        signal = render_blocks(synth, 8, BLOCK, publish=resting)
+        assert peak(signal) == 0.0
+
+    def test_coupling_loop_decays(self):
+        # With no surface travel, the feedback loop through the bank is all there is, so a
+        # strike's ring must decay away rather than self-sustain.
+        t60 = 0.2
+        synth, slot = make_scene(1, 64, t60)
+        strike_all(synth, 1.0)
+        resting = [resting_contact(1, 0, slot)]
+        blocks = int(5 * t60 * SAMPLE_RATE / BLOCK)
+        signal = render_blocks(synth, blocks, BLOCK, publish=resting)
+        assert np.isfinite(signal).all()
+        assert peak(signal) > 0
+        assert peak(signal[-BLOCK:]) < peak(signal) * 1e-9
+
+    def test_moving_contact_settles(self):
+        synth, slot = make_scene(1, 64, 0.2)
+        moving = [moving_contact(1, 0, slot)]
+        signal = render_blocks(synth, 256, BLOCK, publish=moving)
+        assert np.isfinite(signal).all()
+        q = signal.size // 4
+        assert peak(signal[2 * q : 3 * q]) > 0
+        assert peak(signal[-q:]) < peak(signal[2 * q : 3 * q]) * 2.0
+
+    def test_coupling_damps_not_drives(self):
+        # A rise in force deflects the surface away and takes part of the rise back, so a
+        # coupled contact is quieter than the same one open-loop.
+        def render(coupling):
+            synth, slot = make_scene(1, 64, 0.2)
+            synth.coupling = coupling
+            moving = [moving_contact(1, 0, slot)]
+            return rms(render_blocks(synth, 256, BLOCK, publish=moving))
+
+        open_loop = render(0.0)
+        coupled = render(1.0)
+        assert open_loop > 0
+        assert coupled < open_loop
+
+    def test_silent_contact_leaves_strike_alone(self):
+        # A contact pressing with no load and no roughness drives nothing, so a strike must
+        # render (nearly) as if the contact were absent.
+        def render(with_voice):
+            synth, _ = make_scene(1, 200, 0.2)
+            strike_all(synth, 1.0)
+            publish = [silent_contact(1, 0)] if with_voice else None
+            return render_blocks(synth, 16, BLOCK, publish=publish)
+
+        without = render(False)
+        with_voice = render(True)
+        assert peak(without) > 0
+        assert peak(without - with_voice) < peak(without) * 1e-5
+
+    def test_block_boundary_invariance_exact(self):
+        # Voice state carries between samples; a block boundary is the one place it could be
+        # dropped. Positions/forces are exact functions of integer sample age, so this is
+        # exact — the property the reference proves at ModalRenderTest.cpp:260-269.
+        def render(blocks, frames):
+            synth, slot = make_scene(1, 64, 0.2)
+            moving = [moving_contact(1, 0, slot)]
+            return render_blocks(synth, blocks, frames, publish=moving)
+
+        whole = render(8, 1024)
+        split = render(32, 256)
+        assert peak(whole) > 0
+        assert np.array_equal(whole, split)
+
+    def test_strike_rings_and_decays(self):
+        synth, _ = make_scene(1, 64, 0.05)
+        strike_all(synth, 1.0)
+        signal = render_blocks(synth, 64, BLOCK)
+        assert np.isfinite(signal).all()
+        assert peak(signal[:BLOCK]) > 0
+        assert peak(signal[-BLOCK:]) < peak(signal) * 1e-4
+
+    def test_silence_event_clears_state(self):
+        synth, _ = make_scene(2, 32, 1.0)
+        strike_all(synth, 1.0)
+        render_blocks(synth, 4, BLOCK)
+        synth.silence(0)
+        synth.silence(1)
+        signal = render_blocks(synth, 4, BLOCK)
+        assert peak(signal) == 0.0
+
+    def test_voice_idle_timeout_silences(self):
+        # Once publishing stops for MaxVoiceIdleSeconds the set is treated as empty.
+        synth, slot = make_scene(1, 64, 0.2)
+        moving = [moving_contact(1, 0, slot)]
+        render_blocks(synth, 16, BLOCK, publish=moving)
+        assert synth.active_voices == 1
+        # Stop publishing; render past the idle window (0.1 s = ~9.4 blocks).
+        render_blocks(synth, 16, BLOCK)
+        assert synth.active_voices == 0
+
+    def test_polyphony_objects_independent(self):
+        # Two identical objects struck identically radiate identically; the mix is their sum.
+        synth1, _ = make_scene(1, 64, 0.2)
+        strike_all(synth1, 1.0)
+        one = render_blocks(synth1, 8, BLOCK)
+        synth2, _ = make_scene(4, 64, 0.2)
+        strike_all(synth2, 1.0)
+        four = render_blocks(synth2, 8, BLOCK)
+        assert np.allclose(four, 4 * one, rtol=1e-4, atol=peak(one) * 1e-5)
