@@ -274,8 +274,11 @@ class ModalSynth:
 
     # ---- block render ----
 
-    def render(self, num_samples: int) -> np.ndarray:
-        """One block of mono modal synthesis (never blocks on anything but the device)."""
+    def render(self, num_samples: int):
+        """One block of mono modal synthesis. Returns the block as a device array — no
+        host sync per block, so back-to-back blocks pipeline on the device (the analog of
+        the reference's never-blocking audio callback); convert with np.asarray when the
+        signal is needed host-side."""
         self._drain_events()
         self._adopt_voices()
         self.state, self.impacts, self.voices, out = render_block(
@@ -290,11 +293,12 @@ class ModalSynth:
             self.coupling,
         )
         self._idle_samples += num_samples
-        return np.asarray(out)
+        return out
 
     def render_seconds(self, seconds: float, block_size: int = 512) -> np.ndarray:
         blocks = int(np.ceil(seconds * self.sample_rate / block_size))
-        return np.concatenate([self.render(block_size) for _ in range(blocks)])
+        chunks = [self.render(block_size) for _ in range(blocks)]  # one sync at the end
+        return np.concatenate([np.asarray(c) for c in chunks])
 
     @property
     def active_impacts(self) -> int:

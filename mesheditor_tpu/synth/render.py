@@ -111,8 +111,7 @@ def _voice_gain_rows(params: BankParams, voices: VoiceTable, coupling):
     return gain_n, gain_geo0, gain_geo1, gain_fric, read_gain
 
 
-@partial(jax.jit, static_argnames=("num_samples",), donate_argnames=("state", "voices", "impacts"))
-def render_block(
+def render_block_impl(
     params: BankParams,
     state: BankState,
     impacts: ImpactTable,
@@ -300,3 +299,7 @@ def render_block(
     state = BankState(z_re=z_re * keep, z_im=z_im * keep)
 
     return state, impacts, voices, out
+
+
+render_block = partial(jax.jit, static_argnames=("num_samples",),
+                       donate_argnames=("state", "voices", "impacts"))(render_block_impl)
