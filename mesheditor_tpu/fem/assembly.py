@@ -84,35 +84,76 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _gather(elem_dofs, x):
-    # x: (n,) or (n, p) -> (E, 30) or (E, 30, p)
-    return x[elem_dofs]
+# Elements per matvec chunk: f64 dots on TPU are emulated by algebraic expansion, whose
+# temporary is O(chunk * 30 * 30 * panel) — chunking keeps it bounded (~hundreds of MB)
+# instead of the full-mesh expansion that blows past HBM on corpus-sized solves.
+MATVEC_CHUNK = 512
 
 
-def _scatter(ye, elem_dofs, n_dofs):
-    flat_ids = elem_dofs.reshape(-1)
-    flat = ye.reshape((flat_ids.shape[0],) + ye.shape[2:])  # (E*30,) or (E*30, p)
-    return jax.ops.segment_sum(flat, flat_ids, num_segments=n_dofs)
+def _chunked_apply(elem_dofs, x, n_dofs, per_chunk):
+    """Accumulate segment-summed per-element products over element chunks.
+
+    `per_chunk(dofs_chunk, aux_index, xe)` -> (chunk, 30[, p]) element products.
+    """
+    e = elem_dofs.shape[0]
+    if e <= MATVEC_CHUNK:
+        ye = per_chunk(elem_dofs, 0, x[elem_dofs])
+        flat = ye.reshape((-1,) + ye.shape[2:])
+        return jax.ops.segment_sum(flat, elem_dofs.reshape(-1), num_segments=n_dofs)
+
+    n_chunks = (e + MATVEC_CHUNK - 1) // MATVEC_CHUNK
+    pad = n_chunks * MATVEC_CHUNK - e
+    # Padding rows scatter zero products into dof 0.
+    dofs_p = jnp.pad(elem_dofs, ((0, pad), (0, 0)))
+    out_shape = (n_dofs,) + x.shape[1:]
+
+    def body(c, acc):
+        dofs_c = jax.lax.dynamic_slice_in_dim(dofs_p, c * MATVEC_CHUNK, MATVEC_CHUNK)
+        ye = per_chunk(dofs_c, c, x[dofs_c])
+        flat = ye.reshape((-1,) + ye.shape[2:])
+        return acc + jax.ops.segment_sum(flat, dofs_c.reshape(-1), num_segments=n_dofs)
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(out_shape, dtype=x.dtype))
 
 
 def _apply_k(elem_dofs, k_blocks, x, n_dofs):
-    if x.ndim == 1:
-        xe = _gather(elem_dofs, x)  # (E, 30)
-        ye = jnp.einsum("eij,ej->ei", k_blocks, xe)
-    else:
-        xe = _gather(elem_dofs, x)  # (E, 30, p)
-        ye = jnp.einsum("eij,ejp->eip", k_blocks, xe)
-    return _scatter(ye, elem_dofs, n_dofs)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    e = elem_dofs.shape[0]
+    pad = (-e) % MATVEC_CHUNK if e > MATVEC_CHUNK else 0
+    kb_p = jnp.pad(k_blocks, ((0, pad), (0, 0), (0, 0))) if pad else k_blocks
+
+    def per_chunk(dofs_c, c, xe):
+        kb = (
+            jax.lax.dynamic_slice_in_dim(kb_p, c * MATVEC_CHUNK, MATVEC_CHUNK)
+            if e > MATVEC_CHUNK
+            else kb_p
+        )
+        return jnp.einsum("eij,ejp->eip", kb, xe)
+
+    y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk)
+    return y[:, 0] if squeeze else y
 
 
 def _apply_m(elem_dofs, rho_vol, m_unit, x, n_dofs):
-    if x.ndim == 1:
-        xe = _gather(elem_dofs, x)
-        ye = rho_vol[:, None] * jnp.einsum("ij,ej->ei", m_unit, xe)
-    else:
-        xe = _gather(elem_dofs, x)
-        ye = rho_vol[:, None, None] * jnp.einsum("ij,ejp->eip", m_unit, xe)
-    return _scatter(ye, elem_dofs, n_dofs)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    e = elem_dofs.shape[0]
+    pad = (-e) % MATVEC_CHUNK if e > MATVEC_CHUNK else 0
+    rv_p = jnp.pad(rho_vol, (0, pad)) if pad else rho_vol
+
+    def per_chunk(dofs_c, c, xe):
+        rv = (
+            jax.lax.dynamic_slice_in_dim(rv_p, c * MATVEC_CHUNK, MATVEC_CHUNK)
+            if e > MATVEC_CHUNK
+            else rv_p
+        )
+        return rv[:, None, None] * jnp.einsum("ij,ejp->eip", m_unit, xe)
+
+    y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk)
+    return y[:, 0] if squeeze else y
 
 
 def _element_basis(points: jax.Array, tets: jax.Array):

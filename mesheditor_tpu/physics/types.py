@@ -1,0 +1,112 @@
+"""Rigid-body physics types, aligned with KHR_physics_rigid_bodies semantics.
+
+Mirrors the reference's surface (src/physics/PhysicsTypes.h:25-145, PhysicsContact.h:9-67):
+materials with combine modes, collision filters, primitive shapes, motion properties, and
+— the part that matters to the audio pipeline — the ContactImpact / SustainedContact
+reporting stream, which is the excitation bus feeding modal synthesis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+
+
+class CombineMode(Enum):
+    AVERAGE = "average"
+    MINIMUM = "minimum"
+    MAXIMUM = "maximum"
+    MULTIPLY = "multiply"
+
+
+@dataclass(frozen=True)
+class PhysicsMaterial:
+    static_friction: float = 0.5
+    dynamic_friction: float = 0.5
+    restitution: float = 0.3
+    friction_combine: CombineMode = CombineMode.AVERAGE
+    restitution_combine: CombineMode = CombineMode.AVERAGE
+
+
+def combine(a: float, b: float, mode: CombineMode) -> float:
+    if mode == CombineMode.MINIMUM:
+        return min(a, b)
+    if mode == CombineMode.MAXIMUM:
+        return max(a, b)
+    if mode == CombineMode.MULTIPLY:
+        return a * b
+    return 0.5 * (a + b)
+
+
+@dataclass(frozen=True)
+class CollisionFilter:
+    """Bitmask collision system (reference: PhysicsTypes.h:48-53)."""
+
+    membership: int = 1
+    collides_with: int = ~0
+
+
+@dataclass(frozen=True)
+class ShapeSphere:
+    radius: float = 0.5
+
+
+@dataclass(frozen=True)
+class ShapeBox:
+    half_extents: tuple = (0.5, 0.5, 0.5)
+
+
+@dataclass(frozen=True)
+class ShapePlane:
+    """Static infinite plane: normal * x = offset."""
+
+    normal: tuple = (0.0, 1.0, 0.0)
+    offset: float = 0.0
+
+
+@dataclass
+class PhysicsMotion:
+    """Motion properties (reference: PhysicsTypes.h:135-145)."""
+
+    is_kinematic: bool = False
+    mass: float = 1.0  # <= 0 derives from shape volume * 1000 kg/m^3
+    linear_damping: float = 0.02
+    angular_damping: float = 0.05
+    gravity_factor: float = 1.0
+
+
+BodyHandle = int
+
+
+@dataclass
+class ContactImpact:
+    """One new impact (reference: PhysicsContact.h:14-25)."""
+
+    body_a: BodyHandle
+    body_b: BodyHandle
+    point: np.ndarray  # world
+    direction: np.ndarray  # unit, pointing into body_a
+    impulse: float  # kg*m/s
+    speed: float  # approach speed, m/s
+    other_inv_mass: float  # kg^-1
+
+
+@dataclass
+class SustainedContact:
+    """A persisting manifold, level-triggered: present while touching
+    (reference: PhysicsContact.h:31-67)."""
+
+    contact_id: int  # stable across steps for one (a, b) pair
+    body_a: BodyHandle
+    body_b: BodyHandle
+    point: np.ndarray
+    normal: np.ndarray  # unit, from b into a
+    normal_force: float  # N
+    slip_speed: float  # relative tangential speed at the contact, m/s
+    sweep_speed_a: float  # contact point travel over body a's surface, m/s
+    sweep_speed_b: float
+    friction: float
+    restitution: float
+    step: int = 0  # the simulation step this report belongs to

