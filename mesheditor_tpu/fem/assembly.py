@@ -58,15 +58,20 @@ class ElementOperators:
 
     Fields:
       elem_dofs: (E, 30) int32 — global dof of each element-local dof (3*node + component)
-      k_blocks:  (E, 30, 30) — per-element stiffness
-      rho_vol:   (E,) — density * element volume
+      k_blocks:  (E, 30, 30) f64 — per-element stiffness
+      k_blocks_f32: f32 copy for the preconditioner path — inner solves are a
+                    preconditioner, so bf16-class MXU matmuls are plenty, and they run
+                    orders of magnitude faster than TPU's emulated f64
+      rho_vol:   (E,) — density * element volume (+ f32 copy)
       m_unit:    (30, 30) — kron(mass_tab, I3), shared by every element
       n_dofs:    int (static)
     """
 
     elem_dofs: jax.Array
     k_blocks: jax.Array
+    k_blocks_f32: jax.Array
     rho_vol: jax.Array
+    rho_vol_f32: jax.Array
     m_unit: jax.Array
     n_dofs: int
 
@@ -76,10 +81,17 @@ class ElementOperators:
     def mmat(self, x: jax.Array) -> jax.Array:
         return _apply_m(self.elem_dofs, self.rho_vol, self.m_unit, x, self.n_dofs)
 
+    def kmat_f32(self, x: jax.Array) -> jax.Array:
+        return _apply_k(self.elem_dofs, self.k_blocks_f32, x, self.n_dofs)
+
+    def mmat_f32(self, x: jax.Array) -> jax.Array:
+        return _apply_m(self.elem_dofs, self.rho_vol_f32, self.m_unit.astype(jnp.float32),
+                        x, self.n_dofs)
+
 
 jax.tree_util.register_dataclass(
     ElementOperators,
-    data_fields=("elem_dofs", "k_blocks", "rho_vol", "m_unit"),
+    data_fields=("elem_dofs", "k_blocks", "k_blocks_f32", "rho_vol", "rho_vol_f32", "m_unit"),
     meta_fields=("n_dofs",),
 )
 
@@ -90,13 +102,14 @@ jax.tree_util.register_dataclass(
 MATVEC_CHUNK = 512
 
 
-def _chunked_apply(elem_dofs, x, n_dofs, per_chunk):
+def _chunked_apply(elem_dofs, x, n_dofs, per_chunk, chunking: bool):
     """Accumulate segment-summed per-element products over element chunks.
 
     `per_chunk(dofs_chunk, aux_index, xe)` -> (chunk, 30[, p]) element products.
+    `chunking` is False for f32 (native MXU dots need no temp bounding).
     """
     e = elem_dofs.shape[0]
-    if e <= MATVEC_CHUNK:
+    if not chunking or e <= MATVEC_CHUNK:
         ye = per_chunk(elem_dofs, 0, x[elem_dofs])
         flat = ye.reshape((-1,) + ye.shape[2:])
         return jax.ops.segment_sum(flat, elem_dofs.reshape(-1), num_segments=n_dofs)
@@ -120,19 +133,20 @@ def _apply_k(elem_dofs, k_blocks, x, n_dofs):
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
+    chunking = x.dtype == jnp.float64
     e = elem_dofs.shape[0]
-    pad = (-e) % MATVEC_CHUNK if e > MATVEC_CHUNK else 0
+    pad = (-e) % MATVEC_CHUNK if (chunking and e > MATVEC_CHUNK) else 0
     kb_p = jnp.pad(k_blocks, ((0, pad), (0, 0), (0, 0))) if pad else k_blocks
 
     def per_chunk(dofs_c, c, xe):
         kb = (
             jax.lax.dynamic_slice_in_dim(kb_p, c * MATVEC_CHUNK, MATVEC_CHUNK)
-            if e > MATVEC_CHUNK
+            if chunking and e > MATVEC_CHUNK
             else kb_p
         )
         return jnp.einsum("eij,ejp->eip", kb, xe)
 
-    y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk)
+    y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk, chunking)
     return y[:, 0] if squeeze else y
 
 
@@ -140,19 +154,20 @@ def _apply_m(elem_dofs, rho_vol, m_unit, x, n_dofs):
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
+    chunking = x.dtype == jnp.float64
     e = elem_dofs.shape[0]
-    pad = (-e) % MATVEC_CHUNK if e > MATVEC_CHUNK else 0
+    pad = (-e) % MATVEC_CHUNK if (chunking and e > MATVEC_CHUNK) else 0
     rv_p = jnp.pad(rho_vol, (0, pad)) if pad else rho_vol
 
     def per_chunk(dofs_c, c, xe):
         rv = (
             jax.lax.dynamic_slice_in_dim(rv_p, c * MATVEC_CHUNK, MATVEC_CHUNK)
-            if e > MATVEC_CHUNK
+            if chunking and e > MATVEC_CHUNK
             else rv_p
         )
         return rv[:, None, None] * jnp.einsum("ij,ejp->eip", m_unit, xe)
 
-    y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk)
+    y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk, chunking)
     return y[:, 0] if squeeze else y
 
 
@@ -250,10 +265,13 @@ def assemble_element_matrices(
     m_unit = jnp.kron(jnp.asarray(mass_tab), jnp.eye(3))  # (30, 30)
     nodes = jnp.asarray(quad.element_nodes.astype(np.int32))
     elem_dofs = (3 * nodes[:, :, None] + jnp.arange(3, dtype=jnp.int32)).reshape(-1, 30)
+    rho_vol = (material.density * volume).astype(dtype)
     return ElementOperators(
         elem_dofs=elem_dofs,
         k_blocks=k_blocks.astype(dtype),
-        rho_vol=(material.density * volume).astype(dtype),
+        k_blocks_f32=k_blocks.astype(jnp.float32),
+        rho_vol=rho_vol,
+        rho_vol_f32=rho_vol.astype(jnp.float32),
         m_unit=m_unit.astype(dtype),
         n_dofs=n_dofs,
     )

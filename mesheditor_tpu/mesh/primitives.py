@@ -66,17 +66,21 @@ def grid_box_surface(k: int) -> tuple[np.ndarray, np.ndarray]:
             points.append((x / k, y / k, z / k))
         return ids[key]
 
-    def face(corner):
+    def face(corner, flip=False):
         for i in range(k):
             for j in range(k):
                 a, b, c, d = corner(i, j), corner(i + 1, j), corner(i + 1, j + 1), corner(i, j + 1)
-                tris.extend((a, b, c, a, c, d))
+                if flip:
+                    tris.extend((a, c, b, a, d, c))
+                else:
+                    tris.extend((a, b, c, a, c, d))
 
-    face(lambda i, j: vid(i, j, 0))
+    # Consistently outward-wound (enclosed volume and curvature depend on it).
+    face(lambda i, j: vid(i, j, 0), flip=True)
     face(lambda i, j: vid(i, j, k))
     face(lambda i, j: vid(i, 0, j))
-    face(lambda i, j: vid(i, k, j))
-    face(lambda i, j: vid(0, i, j))
+    face(lambda i, j: vid(i, k, j), flip=True)
+    face(lambda i, j: vid(0, i, j), flip=True)
     face(lambda i, j: vid(k, i, j))
     return np.asarray(points, dtype=np.float64), np.asarray(tris, dtype=np.uint32).reshape(-1, 3)
 

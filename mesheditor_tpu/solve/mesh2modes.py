@@ -165,6 +165,8 @@ def mesh2modes(
         n,
         fem_n_modes,
         op_state=ops,  # threads the element arrays as jit arguments, not HLO constants
+        kmat_pc=lambda o, x: o.kmat_f32(x),
+        mmat_pc=lambda o, x: o.mmat_f32(x),
         sigma=sigma,
         x0=x0,
         tol=tol,
