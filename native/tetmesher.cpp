@@ -1,0 +1,383 @@
+// Delaunay-based interior tetrahedralizer — the native meshing core.
+//
+// Role in the framework: the quality step between the Python voxel mesher and a full
+// constrained-Delaunay port (the reference ships a TetGen-class CDT at
+// src/mesh/Tetrahedralize.cpp; this file is an original implementation, not a port).
+//
+// Pipeline:
+//   1. vertex set = surface vertices (preserved exactly in the output) + an interior
+//      lattice (ray-crossing parity against the surface, grid-bucketed in yz)
+//   2. incremental Bowyer-Watson Delaunay over a deterministic hash-jittered copy of the
+//      points (the jitter resolves exact degeneracies: cospherical grid corners etc.);
+//      point location by tetrahedron walk from the last insertion
+//   3. carve: keep tets whose centroid lies inside the surface (same parity test)
+//   4. drop slivers whose quality is hopeless; emit original coordinates
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <array>
+#include <algorithm>
+#include <unordered_map>
+#include <random>
+
+namespace {
+
+using u32 = uint32_t;
+using u64 = uint64_t;
+
+struct V3 {
+    double x, y, z;
+    V3 operator-(const V3 &o) const { return {x - o.x, y - o.y, z - o.z}; }
+    V3 operator+(const V3 &o) const { return {x + o.x, y + o.y, z + o.z}; }
+    V3 operator*(double s) const { return {x * s, y * s, z * s}; }
+};
+inline double dot(const V3 &a, const V3 &b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline V3 cross(const V3 &a, const V3 &b) {
+    return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+inline double norm2(const V3 &a) { return dot(a, a); }
+
+inline double orient3d(const V3 &a, const V3 &b, const V3 &c, const V3 &d) {
+    // > 0 when d is on the positive side of plane(a, b, c).
+    return dot(d - a, cross(b - a, c - a));
+}
+
+inline double insphere(const V3 &a, const V3 &b, const V3 &c, const V3 &d, const V3 &p) {
+    // > 0 when p is inside the circumsphere of positively-oriented (a, b, c, d).
+    const V3 ap = a - p, bp = b - p, cp = c - p, dp = d - p;
+    const double aa = norm2(ap), bb = norm2(bp), cc = norm2(cp), dd = norm2(dp);
+    const double m[4][4] = {
+        {ap.x, ap.y, ap.z, aa},
+        {bp.x, bp.y, bp.z, bb},
+        {cp.x, cp.y, cp.z, cc},
+        {dp.x, dp.y, dp.z, dd},
+    };
+    // 4x4 determinant by cofactor expansion on the last column.
+    auto det3 = [](double a0, double a1, double a2, double b0, double b1, double b2,
+                   double c0, double c1, double c2) {
+        return a0 * (b1 * c2 - b2 * c1) - a1 * (b0 * c2 - b2 * c0) + a2 * (b0 * c1 - b1 * c0);
+    };
+    double det = 0;
+    det -= m[0][3] * det3(m[1][0], m[1][1], m[1][2], m[2][0], m[2][1], m[2][2], m[3][0], m[3][1], m[3][2]);
+    det += m[1][3] * det3(m[0][0], m[0][1], m[0][2], m[2][0], m[2][1], m[2][2], m[3][0], m[3][1], m[3][2]);
+    det -= m[2][3] * det3(m[0][0], m[0][1], m[0][2], m[1][0], m[1][1], m[1][2], m[3][0], m[3][1], m[3][2]);
+    det += m[3][3] * det3(m[0][0], m[0][1], m[0][2], m[1][0], m[1][1], m[1][2], m[2][0], m[2][1], m[2][2]);
+    // This determinant is negative for p strictly inside the circumsphere of a
+    // positively-oriented tet; negate so the conventional "> 0 means inside" holds.
+    return -det;
+}
+
+inline u64 splitmix(u64 &s) {
+    u64 z = (s += 0x9e3779b97f4a7c15ull);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+}
+
+// ---- parity-based inside test with a yz bucket grid over the triangles ----
+
+struct InsideTester {
+    const double *pts;       // surface points (n, 3)
+    const u32 *tris;         // (m, 3)
+    u64 ntris;
+    double ylo, zlo, cell;   // bucket grid origin + size
+    int ny, nz;
+    std::vector<std::vector<u32>> buckets;
+
+    void build(const double *p, u64 npts, const u32 *t, u64 m) {
+        pts = p;
+        tris = t;
+        ntris = m;
+        double yhi = -1e300, zhi = -1e300;
+        ylo = 1e300;
+        zlo = 1e300;
+        for (u64 i = 0; i < npts; ++i) {
+            ylo = std::min(ylo, p[3 * i + 1]);
+            yhi = std::max(yhi, p[3 * i + 1]);
+            zlo = std::min(zlo, p[3 * i + 2]);
+            zhi = std::max(zhi, p[3 * i + 2]);
+        }
+        const int target = std::max(1, (int)std::sqrt((double)m));
+        ny = std::min(256, target);
+        nz = std::min(256, target);
+        cell = std::max({(yhi - ylo) / ny, (zhi - zlo) / nz, 1e-12});
+        ny = std::max(1, (int)std::ceil((yhi - ylo) / cell));
+        nz = std::max(1, (int)std::ceil((zhi - zlo) / cell));
+        buckets.assign((size_t)ny * nz, {});
+        for (u64 ti = 0; ti < m; ++ti) {
+            double by0 = 1e300, by1 = -1e300, bz0 = 1e300, bz1 = -1e300;
+            for (int k = 0; k < 3; ++k) {
+                const double *v = &p[3 * t[3 * ti + k]];
+                by0 = std::min(by0, v[1]);
+                by1 = std::max(by1, v[1]);
+                bz0 = std::min(bz0, v[2]);
+                bz1 = std::max(bz1, v[2]);
+            }
+            int iy0 = std::clamp((int)((by0 - ylo) / cell), 0, ny - 1);
+            int iy1 = std::clamp((int)((by1 - ylo) / cell), 0, ny - 1);
+            int iz0 = std::clamp((int)((bz0 - zlo) / cell), 0, nz - 1);
+            int iz1 = std::clamp((int)((bz1 - zlo) / cell), 0, nz - 1);
+            for (int iy = iy0; iy <= iy1; ++iy)
+                for (int iz = iz0; iz <= iz1; ++iz) buckets[(size_t)iy * nz + iz].push_back((u32)ti);
+        }
+    }
+
+    bool inside(double qx, double qy, double qz) const {
+        // Count crossings of the +x ray; jitter handled by the caller's point choice.
+        int iy = std::clamp((int)((qy - ylo) / cell), 0, ny - 1);
+        int iz = std::clamp((int)((qz - zlo) / cell), 0, nz - 1);
+        int count = 0;
+        for (u32 ti : buckets[(size_t)iy * nz + iz]) {
+            const double *a = &pts[3 * tris[3 * ti + 0]];
+            const double *b = &pts[3 * tris[3 * ti + 1]];
+            const double *c = &pts[3 * tris[3 * ti + 2]];
+            const double d1y = b[1] - a[1], d1z = b[2] - a[2];
+            const double d2y = c[1] - a[1], d2z = c[2] - a[2];
+            const double den = d1y * d2z - d2y * d1z;
+            if (std::fabs(den) < 1e-30) continue;
+            const double py = qy - a[1], pz = qz - a[2];
+            const double u = (py * d2z - pz * d2y) / den;
+            const double w = (pz * d1y - py * d1z) / den;
+            if (u < 0 || w < 0 || u + w > 1) continue;
+            const double xhit = a[0] + u * (b[0] - a[0]) + w * (c[0] - a[0]);
+            if (xhit > qx) ++count;
+        }
+        return (count & 1) == 1;
+    }
+};
+
+// ---- Bowyer-Watson incremental Delaunay ----
+
+struct Tet {
+    u32 v[4];       // vertex ids (includes 4 virtual bounding-tet ids at the start)
+    int nbr[4];     // neighbor tet across the face opposite v[k]; -1 = hull
+    bool alive = true;
+};
+
+struct Delaunay {
+    std::vector<V3> pts;       // jittered working coordinates
+    std::vector<Tet> tets;
+    int last_alive = 0;
+
+    static constexpr int FACE[4][3] = {{1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
+
+    void init_bounding(const V3 &lo, const V3 &hi) {
+        const V3 c = (lo + hi) * 0.5;
+        const double r = 20.0 * std::sqrt(norm2(hi - lo)) + 1.0;
+        pts.push_back({c.x - 2 * r, c.y - r, c.z - r});
+        pts.push_back({c.x + 2 * r, c.y - r, c.z - r});
+        pts.push_back({c.x, c.y + 2 * r, c.z - r});
+        pts.push_back({c.x, c.y, c.z + 2 * r});
+        Tet t0;
+        t0.v[0] = 0; t0.v[1] = 1; t0.v[2] = 2; t0.v[3] = 3;
+        if (orient3d(pts[0], pts[1], pts[2], pts[3]) < 0) std::swap(t0.v[0], t0.v[1]);
+        t0.nbr[0] = t0.nbr[1] = t0.nbr[2] = t0.nbr[3] = -1;
+        tets.push_back(t0);
+    }
+
+    int locate(const V3 &p) {
+        // Remembering stochastic walk from the last alive tet.
+        int cur = last_alive;
+        if (!tets[cur].alive)
+            for (int i = (int)tets.size() - 1; i >= 0; --i)
+                if (tets[i].alive) { cur = i; break; }
+        for (int step = 0; step < (int)tets.size() + 8; ++step) {
+            const Tet &t = tets[cur];
+            int next = -2;
+            for (int f = 0; f < 4; ++f) {
+                const V3 &a = pts[t.v[FACE[f][0]]];
+                const V3 &b = pts[t.v[FACE[f][1]]];
+                const V3 &c = pts[t.v[FACE[f][2]]];
+                // With this FACE table the opposite vertex lies on the negative side of
+                // the face plane, so p is outside through face f when orient3d > 0.
+                if (orient3d(a, b, c, p) > 0) { next = t.nbr[f]; break; }
+            }
+            if (next == -2) return cur;  // inside
+            if (next == -1) return cur;  // walked to the hull; cur is the closest
+            cur = next;
+        }
+        return cur;
+    }
+
+    void insert(u32 pid) {
+        const V3 &p = pts[pid];
+        const int seed = locate(p);
+        // Grow the cavity of tets whose circumsphere contains p.
+        std::vector<int> cavity;
+        std::vector<int> stack{seed};
+        std::vector<char> mark(tets.size(), 0);
+        mark[seed] = 1;
+        while (!stack.empty()) {
+            int ti = stack.back();
+            stack.pop_back();
+            Tet &t = tets[ti];
+            if (!t.alive) continue;
+            if (insphere(pts[t.v[0]], pts[t.v[1]], pts[t.v[2]], pts[t.v[3]], p) <= 0 && ti != seed)
+                continue;
+            cavity.push_back(ti);
+            for (int f = 0; f < 4; ++f) {
+                int nb = t.nbr[f];
+                if (nb >= 0 && !mark[nb]) { mark[nb] = 1; stack.push_back(nb); }
+            }
+        }
+        // Boundary faces of the cavity -> new tets.
+        std::vector<char> in_cav(tets.size(), 0);
+        for (int ti : cavity) in_cav[ti] = 1;
+        struct NewTet { u32 a, b, c; int outside; int from; };
+        std::vector<NewTet> faces;
+        for (int ti : cavity) {
+            Tet &t = tets[ti];
+            for (int f = 0; f < 4; ++f) {
+                int nb = t.nbr[f];
+                if (nb >= 0 && in_cav[nb]) continue;
+                faces.push_back({t.v[FACE[f][0]], t.v[FACE[f][1]], t.v[FACE[f][2]], nb, ti});
+            }
+            t.alive = false;
+        }
+        // Create one tet per boundary face (p + face), oriented positively.
+        std::unordered_map<u64, std::pair<int, int>> half;  // edge key -> (tet, face slot)
+        half.reserve(faces.size() * 3);
+        int first_new = (int)tets.size();
+        for (auto &fc : faces) {
+            Tet nt;
+            nt.v[0] = pid; nt.v[1] = fc.a; nt.v[2] = fc.b; nt.v[3] = fc.c;
+            if (orient3d(pts[nt.v[0]], pts[nt.v[1]], pts[nt.v[2]], pts[nt.v[3]]) < 0)
+                std::swap(nt.v[2], nt.v[3]);
+            nt.nbr[0] = fc.outside;   // face opposite p = the old outside neighbor
+            nt.nbr[1] = nt.nbr[2] = nt.nbr[3] = -1;
+            int ti = (int)tets.size();
+            tets.push_back(nt);
+            // Fix the back pointer on the face the outside tet shared with fc.from.
+            if (fc.outside >= 0) {
+                Tet &o = tets[fc.outside];
+                for (int f = 0; f < 4; ++f) {
+                    if (o.nbr[f] == fc.from) { o.nbr[f] = ti; break; }
+                }
+            }
+        }
+        // Stitch new tets to each other across the edges of the cavity boundary (faces
+        // sharing an edge of the old boundary share the new edge (p, edge)).
+        for (int ti = first_new; ti < (int)tets.size(); ++ti) {
+            Tet &t = tets[ti];
+            // Faces 1..3 contain p; the face opposite v[k] (k>=1) has vertices
+            // {p} U (face verts minus v[k]) -> key on the non-p pair.
+            for (int k = 1; k < 4; ++k) {
+                u32 a = t.v[(k == 1) ? 2 : 1];
+                u32 b = t.v[(k == 3) ? 2 : 3];
+                if (a > b) std::swap(a, b);
+                u64 key = ((u64)a << 32) | b;
+                auto it = half.find(key);
+                if (it == half.end()) half[key] = {ti, k};
+                else {
+                    t.nbr[k] = it->second.first;
+                    tets[it->second.first].nbr[it->second.second] = ti;
+                }
+            }
+        }
+        last_alive = first_new;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller passes output buffers sized via tetmesh_count upper bounds;
+// the two-call protocol: first call with out_tets == nullptr fills *out_ntets with the
+// exact count, second call copies.
+int tetmesh_delaunay(
+    const double *points, u64 npoints,
+    const u32 *tris, u64 ntris,
+    double lattice_h,          // interior lattice spacing; <= 0 picks bbox/16
+    double *work_scale,        // out: jitter scale used (diagnostics)
+    u32 *out_tets,             // (max_tets, 4) or nullptr for counting
+    u64 *inout_ntets,          // in: capacity; out: count
+    double *out_points,        // (npoints + n_lattice, 3) or nullptr
+    u64 *inout_npoints         // in: capacity; out: count
+) {
+    if (npoints < 4 || ntris < 4) return 1;
+    // Bounds.
+    V3 lo{1e300, 1e300, 1e300}, hi{-1e300, -1e300, -1e300};
+    for (u64 i = 0; i < npoints; ++i) {
+        lo.x = std::min(lo.x, points[3 * i]);
+        lo.y = std::min(lo.y, points[3 * i + 1]);
+        lo.z = std::min(lo.z, points[3 * i + 2]);
+        hi.x = std::max(hi.x, points[3 * i]);
+        hi.y = std::max(hi.y, points[3 * i + 1]);
+        hi.z = std::max(hi.z, points[3 * i + 2]);
+    }
+    const double diag = std::sqrt(norm2(hi - lo));
+    if (!(diag > 0)) return 2;
+    double h = lattice_h > 0 ? lattice_h : std::max({hi.x - lo.x, hi.y - lo.y, hi.z - lo.z}) / 16.0;
+
+    InsideTester inside;
+    inside.build(points, npoints, tris, ntris);
+
+    // Vertex set: surface points first (ids preserved), then interior lattice points.
+    std::vector<double> all(points, points + 3 * npoints);
+    const double jy = 0.12345e-4 * h, jz = 0.54321e-4 * h;  // ray-degeneracy nudge
+    for (double x = lo.x + 0.5 * h; x < hi.x; x += h)
+        for (double y = lo.y + 0.5 * h; y < hi.y; y += h)
+            for (double z = lo.z + 0.5 * h; z < hi.z; z += h)
+                if (inside.inside(x, y + jy, z + jz)) {
+                    all.push_back(x);
+                    all.push_back(y);
+                    all.push_back(z);
+                }
+    const u64 nall = all.size() / 3;
+
+    // Jittered working copy (deterministic): resolves cospherical/coplanar degeneracies.
+    const double jitter = 1e-7 * diag;
+    if (work_scale) *work_scale = jitter;
+    Delaunay dl;
+    dl.pts.reserve(nall + 4);
+    dl.init_bounding(lo, hi);
+    u64 seed = 0x51a3c0ffee123457ull;
+    for (u64 i = 0; i < nall; ++i) {
+        const double jx = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+        const double jy2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+        const double jz2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+        dl.pts.push_back({all[3 * i] + jx, all[3 * i + 1] + jy2, all[3 * i + 2] + jz2});
+    }
+    for (u64 i = 0; i < nall; ++i) dl.insert((u32)(4 + i));
+
+    // Carve + collect: drop bounding-tet incidences, keep interior centroids, drop slivers.
+    std::vector<std::array<u32, 4>> keep;
+    for (const Tet &t : dl.tets) {
+        if (!t.alive) continue;
+        if (t.v[0] < 4 || t.v[1] < 4 || t.v[2] < 4 || t.v[3] < 4) continue;
+        const V3 &a = dl.pts[t.v[0]];
+        const V3 &b = dl.pts[t.v[1]];
+        const V3 &c = dl.pts[t.v[2]];
+        const V3 &d = dl.pts[t.v[3]];
+        const V3 cen = (a + b + c + d) * 0.25;
+        if (!inside.inside(cen.x, cen.y + jy, cen.z + jz)) continue;
+        const double vol6 = orient3d(a, b, c, d);
+        double lmax2 = 0;
+        const V3 vs[4] = {a, b, c, d};
+        for (int i = 0; i < 4; ++i)
+            for (int j = i + 1; j < 4; ++j) lmax2 = std::max(lmax2, norm2(vs[i] - vs[j]));
+        if (std::fabs(vol6) < 1e-10 * lmax2 * std::sqrt(lmax2)) continue;  // sliver
+        std::array<u32, 4> out{t.v[0] - 4, t.v[1] - 4, t.v[2] - 4, t.v[3] - 4};
+        if (vol6 < 0) std::swap(out[2], out[3]);  // positive orientation
+        keep.push_back(out);
+    }
+
+    if (!out_tets) {
+        *inout_ntets = keep.size();
+        *inout_npoints = nall;
+        return 0;
+    }
+    if (*inout_ntets < keep.size() || *inout_npoints < nall) return 3;
+    std::memcpy(out_tets, keep.data(), keep.size() * 4 * sizeof(u32));
+    std::memcpy(out_points, all.data(), all.size() * sizeof(double));
+    *inout_ntets = keep.size();
+    *inout_npoints = nall;
+    return 0;
+}
+
+}  // extern "C"
