@@ -27,9 +27,12 @@ def run(report_json=True):
     seconds = 1.0
     n_objects = 64
 
-    # ~10k tets: 18*10*9 cells * 6 = 9720.
+    # ~10k tets: 18*10*9 cells * 6 = 9720. Eigenvalue-settling tolerance 1e-6 (relative
+    # lambda change) puts frequencies at ~5e-7 relative — 2000x inside the 0.1% parity
+    # gate — without paying iterations to chase Rayleigh-Ritz noise on degenerate pairs.
     mesh = box_tets((0.3, 0.16, 0.15), (18, 10, 9))
-    cfg = SolverConfig(num_modes=256, num_fem_modes=256, max_mode_freq=48_000.0)
+    cfg = SolverConfig(num_modes=256, num_fem_modes=256, max_mode_freq=48_000.0,
+                       tolerance=1e-6)
     excite = mesh.points[:: max(mesh.points.shape[0] // 10, 1)][:10]
 
     def solve():
@@ -49,19 +52,32 @@ def run(report_json=True):
         # no inter-block host interaction the engine fuses device calls (state-identical).
         return synth.render_seconds(seconds, block)
 
+    import sys
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     # Warmup: compile every kernel at the benchmark shapes.
+    note("warmup solve (compiles)...")
     warm_result = solve()
     assert warm_result.modes.num_modes > 0, "solve failed"
+    note(
+        f"warmup solve ok: {warm_result.modes.num_modes} modes, "
+        f"{warm_result.profile.restarts} iters, iterate {warm_result.profile.iterate:.1f}s"
+    )
     warm_audio = build_and_render(warm_result)
     assert np.isfinite(warm_audio).all() and np.abs(warm_audio).max() > 0, "render failed"
+    note("warmup render ok; timing...")
 
     t0 = time.perf_counter()
     result = solve()
     solve_s = time.perf_counter() - t0
+    note(f"timed solve {solve_s:.2f}s")
 
     t0 = time.perf_counter()
     audio = build_and_render(result)
     render_s = time.perf_counter() - t0
+    note(f"timed render {render_s:.2f}s")
 
     total = solve_s + render_s
     realtime_x = seconds / total

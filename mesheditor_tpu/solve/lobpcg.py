@@ -24,6 +24,7 @@ SolveReuse semantics (mesh2modes.h:63-68).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -278,6 +279,14 @@ def lobpcg_pencil(
                 settled += 1
             else:
                 break
+        if os.environ.get("MESHEDITOR_TPU_DEBUG_EIG"):
+            j = settled if settled < nev else nev - 1
+            print(
+                f"[eig] it={iterations} settled={settled}/{nev} "
+                f"blocker: lam={lam[j]:.6e} delta={delta[j]:.3e} rel={rel[j]:.3e} "
+                f"window={window:.3e}",
+                flush=True,
+            )
         if callback is not None and callback(iterations, settled):
             return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
         if settled >= nev:
