@@ -1,0 +1,289 @@
+"""glTF 2.0 scene import/export (pure Python: JSON + external/GLB binary buffers).
+
+Covers the framework's scene-interchange slice of the reference's glTF layer
+(src/gltf/GltfScene.{h,cpp}): node hierarchy with TRS transforms, triangle meshes
+(POSITION/NORMAL + indices), pbrMetallicRoughness material factors, and two custom
+extras blocks carrying this framework's physical-audio data:
+
+- `MESHEDITOR_TPU_acoustic`: acoustic material (rho, E, nu, alpha, beta) + solve settings
+- `MESHEDITOR_TPU_modal`: a bound modal model artifact path (content-addressed)
+
+Import -> a scene Registry; export <- a Registry. Lossless roundtrip for everything this
+slice covers (tested component-by-component, the reference's RoundtripTest discipline).
+GLB (binary container) and .gltf+.bin layouts both supported.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from ..scene.components import (
+    AcousticMaterialRef,
+    MeshSurface,
+    ModalModel,
+    Name,
+    SceneNode,
+    SolveSettingsComponent,
+    Transform,
+)
+from ..scene.registry import Registry
+
+_COMP_F32 = 5126
+_COMP_U32 = 5125
+_COMP_U16 = 5123
+
+
+def _accessor(gltf, buffers, arr, target=None):
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype == np.float32:
+        comp = _COMP_F32
+    elif arr.dtype == np.uint32:
+        comp = _COMP_U32
+    elif arr.dtype == np.uint16:
+        comp = _COMP_U16
+    else:
+        raise ValueError(f"unsupported accessor dtype {arr.dtype}")
+    if arr.ndim == 1:
+        type_ = "SCALAR"
+    elif arr.shape[1] == 3:
+        type_ = "VEC3"
+    elif arr.shape[1] == 2:
+        type_ = "VEC2"
+    elif arr.shape[1] == 4:
+        type_ = "VEC4"
+    else:
+        raise ValueError(f"unsupported accessor shape {arr.shape}")
+    data = arr.tobytes()
+    offset = len(buffers)
+    pad = (-offset) % 4
+    buffers.extend(b"\x00" * pad)
+    offset += pad
+    buffers.extend(data)
+    gltf["bufferViews"].append(
+        {"buffer": 0, "byteOffset": offset, "byteLength": len(data), **({"target": target} if target else {})}
+    )
+    acc = {
+        "bufferView": len(gltf["bufferViews"]) - 1,
+        "componentType": comp,
+        "count": int(arr.shape[0]),
+        "type": type_,
+    }
+    if type_ == "VEC3" and comp == _COMP_F32:
+        acc["min"] = [float(v) for v in arr.min(axis=0)]
+        acc["max"] = [float(v) for v in arr.max(axis=0)]
+    gltf["accessors"].append(acc)
+    return len(gltf["accessors"]) - 1
+
+
+def _compute_normals(positions, tris):
+    n = np.zeros_like(positions)
+    v = positions[tris]
+    face_n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    for k in range(3):
+        np.add.at(n, tris[:, k], face_n)
+    norms = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(norms, 1e-30)).astype(np.float32)
+
+
+def export_gltf(r: Registry, path) -> None:
+    """Write the registry's scene as .glb (binary) or .gltf (+ sidecar .bin)."""
+    path = Path(path)
+    gltf = {
+        "asset": {"version": "2.0", "generator": "mesheditor_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": []}],
+        "nodes": [],
+        "meshes": [],
+        "materials": [],
+        "accessors": [],
+        "bufferViews": [],
+        "buffers": [],
+    }
+    buffers = bytearray()
+    node_index: dict[int, int] = {}
+    entities = sorted(e for e in r.entities() if r.valid(e))
+    for e in entities:
+        node: dict = {}
+        name = r.get(e, Name)
+        if name and name.value:
+            node["name"] = name.value
+        t = r.get(e, Transform)
+        if t is not None:
+            if np.any(t.translation != 0):
+                node["translation"] = [float(v) for v in t.translation]
+            w, x, y, z = t.rotation
+            if (w, x, y, z) != (1.0, 0.0, 0.0, 0.0):
+                node["rotation"] = [float(x), float(y), float(z), float(w)]  # glTF xyzw
+            if np.any(t.scale != 1):
+                node["scale"] = [float(v) for v in t.scale]
+        mesh = r.get(e, MeshSurface)
+        if mesh is not None and mesh.positions.size:
+            pos = np.asarray(mesh.positions, np.float32)
+            tris = np.asarray(mesh.triangles, np.uint32)
+            pos_acc = _accessor(gltf, buffers, pos, target=34962)
+            nrm_acc = _accessor(gltf, buffers, _compute_normals(pos.astype(np.float64), tris.astype(np.int64)), target=34962)
+            idx_acc = _accessor(gltf, buffers, tris.reshape(-1), target=34963)
+            prim = {
+                "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc},
+                "indices": idx_acc,
+            }
+            mat = r.get(e, AcousticMaterialRef)
+            if mat is not None:
+                gltf["materials"].append(
+                    {"name": mat.name, "pbrMetallicRoughness": {"metallicFactor": 0.2, "roughnessFactor": 0.7}}
+                )
+                prim["material"] = len(gltf["materials"]) - 1
+            gltf["meshes"].append({"primitives": [prim]})
+            node["mesh"] = len(gltf["meshes"]) - 1
+        extras = {}
+        mat = r.get(e, AcousticMaterialRef)
+        if mat is not None:
+            extras["MESHEDITOR_TPU_acoustic"] = {
+                "name": mat.name, "density": mat.density, "youngModulus": mat.young_modulus,
+                "poissonRatio": mat.poisson_ratio, "alpha": mat.alpha, "beta": mat.beta,
+            }
+        ss = r.get(e, SolveSettingsComponent)
+        if ss is not None:
+            extras["MESHEDITOR_TPU_solve"] = {
+                "numVertices": ss.num_vertices, "solveResolution": ss.solve_resolution,
+                "numModes": ss.num_modes, "minModeFreq": ss.min_mode_freq,
+                "maxModeFreq": ss.max_mode_freq,
+            }
+        mm = r.get(e, ModalModel)
+        if mm is not None and mm.path:
+            extras["MESHEDITOR_TPU_modal"] = {"path": mm.path}
+        if extras:
+            node["extras"] = extras
+        node_index[e] = len(gltf["nodes"])
+        gltf["nodes"].append(node)
+    # Hierarchy.
+    for e in entities:
+        sn = r.get(e, SceneNode)
+        parent = sn.parent if sn else 0
+        if parent and parent in node_index:
+            gltf["nodes"][node_index[parent]].setdefault("children", []).append(node_index[e])
+        else:
+            gltf["scenes"][0]["nodes"].append(node_index[e])
+
+    blob = bytes(buffers)
+    if path.suffix == ".glb":
+        gltf["buffers"] = [{"byteLength": len(blob)}] if blob else []
+        js = json.dumps(gltf, separators=(",", ":")).encode()
+        js += b" " * ((-len(js)) % 4)
+        blob_p = blob + b"\x00" * ((-len(blob)) % 4)
+        chunks = struct.pack("<II", len(js), 0x4E4F534A) + js
+        if blob_p:
+            chunks += struct.pack("<II", len(blob_p), 0x004E4942) + blob_p
+        header = struct.pack("<III", 0x46546C67, 2, 12 + len(chunks))
+        path.write_bytes(header + chunks)
+    else:
+        bin_path = path.with_suffix(".bin")
+        if blob:
+            bin_path.write_bytes(blob)
+            gltf["buffers"] = [{"uri": bin_path.name, "byteLength": len(blob)}]
+        else:
+            gltf["buffers"] = []
+        path.write_text(json.dumps(gltf, indent=1))
+
+
+def _read_buffer(gltf, path: Path, blob: bytes | None) -> list[bytes]:
+    out = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            out.append(blob or b"")
+        elif uri.startswith("data:"):
+            out.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            out.append((path.parent / uri).read_bytes())
+    return out
+
+
+def _read_accessor(gltf, buffers, idx):
+    acc = gltf["accessors"][idx]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    data = buffers[view.get("buffer", 0)]
+    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    comp = {_COMP_F32: np.float32, _COMP_U32: np.uint32, _COMP_U16: np.uint16}[acc["componentType"]]
+    width = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}[acc["type"]]
+    count = acc["count"] * width
+    arr = np.frombuffer(data, dtype=comp, count=count, offset=start)
+    return arr.reshape(acc["count"], width) if width > 1 else arr
+
+
+def import_gltf(path) -> Registry:
+    """Load a .gltf/.glb into a fresh scene Registry."""
+    path = Path(path)
+    blob = None
+    if path.suffix == ".glb":
+        raw = path.read_bytes()
+        magic, version, _ = struct.unpack_from("<III", raw, 0)
+        assert magic == 0x46546C67, "not a GLB"
+        off = 12
+        gltf = None
+        while off < len(raw):
+            clen, ctype = struct.unpack_from("<II", raw, off)
+            data = raw[off + 8 : off + 8 + clen]
+            if ctype == 0x4E4F534A:
+                gltf = json.loads(data)
+            elif ctype == 0x004E4942:
+                blob = data
+            off += 8 + clen
+    else:
+        gltf = json.loads(path.read_text())
+    buffers = _read_buffer(gltf, path, blob)
+
+    r = Registry()
+    node_entity: dict[int, int] = {}
+    for ni, node in enumerate(gltf.get("nodes", [])):
+        e = r.create()
+        node_entity[ni] = e
+        r.emplace(e, Name(node.get("name", "")))
+        r.emplace(e, SceneNode())
+        tr = Transform()
+        if "translation" in node:
+            tr.translation = np.asarray(node["translation"], np.float64)
+        if "rotation" in node:
+            x, y, z, w = node["rotation"]
+            tr.rotation = np.asarray([w, x, y, z], np.float64)
+        if "scale" in node:
+            tr.scale = np.asarray(node["scale"], np.float64)
+        r.emplace(e, tr)
+        if "mesh" in node:
+            mesh = gltf["meshes"][node["mesh"]]
+            prim = mesh["primitives"][0]
+            pos = _read_accessor(gltf, buffers, prim["attributes"]["POSITION"]).astype(np.float64)
+            if "indices" in prim:
+                idx = _read_accessor(gltf, buffers, prim["indices"]).astype(np.uint32)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.uint32)
+            r.emplace(e, MeshSurface(positions=pos, triangles=idx.reshape(-1, 3)))
+        extras = node.get("extras", {})
+        ac = extras.get("MESHEDITOR_TPU_acoustic")
+        if ac:
+            r.emplace(e, AcousticMaterialRef(
+                ac.get("name", "Ceramic"), ac["density"], ac["youngModulus"],
+                ac["poissonRatio"], ac.get("alpha", 0.0), ac.get("beta", 0.0)))
+        ss = extras.get("MESHEDITOR_TPU_solve")
+        if ss:
+            r.emplace(e, SolveSettingsComponent(
+                num_vertices=ss.get("numVertices", 10),
+                solve_resolution=ss.get("solveResolution", 1.0),
+                num_modes=ss.get("numModes", 30),
+                min_mode_freq=ss.get("minModeFreq", 20.0),
+                max_mode_freq=ss.get("maxModeFreq", 16000.0)))
+        mm = extras.get("MESHEDITOR_TPU_modal")
+        if mm:
+            r.emplace(e, ModalModel(mm["path"]))
+    for ni, node in enumerate(gltf.get("nodes", [])):
+        for child in node.get("children", []):
+            sn = r.get(node_entity[child], SceneNode)
+            sn.parent = node_entity[ni]
+            r.emplace(node_entity[child], sn)
+    r.drain_events()
+    return r

@@ -178,7 +178,7 @@ def lobpcg_pencil(
         return x, kx, mx, a, b
 
     @jax.jit
-    def step_stage(ops, x, kx, mx, theta, pdir, have_p):
+    def step_stage(ops, x, kx, mx, theta, pdir, kp_in, mp_in, have_p):
         # Residuals of the current Ritz pairs; preconditioned residuals form W.
         r = kx - mx * theta[None, :]
         res_norm = jnp.sqrt(_col_dots(r, r))
@@ -186,9 +186,14 @@ def lobpcg_pencil(
         # Project W M-orthogonal to X (X is M-orthonormal by construction). Columns that
         # collapse below 1e-7 of their pre-projection M-norm are numerically inside span(X)
         # — orthonormalizing them would amplify cancellation noise into the trial space
-        # (the post-convergence NaN failure mode), so they zero out instead.
-        mw = _mmat(ops, w)
-        pre2 = _col_dots(w, mw)
+        # (the post-convergence NaN failure mode), so they zero out instead. The
+        # pre-projection norm is only that dead-column heuristic, so the cheap f32
+        # operator serves it when available.
+        if kmat_pc is not None:
+            mw_pre = mmat_pc(ops, w.astype(jnp.float32)).astype(w.dtype)
+        else:
+            mw_pre = _mmat(ops, w)
+        pre2 = _col_dots(w, mw_pre)
         w = w - x @ (mx.T @ w)
         mw = _mmat(ops, w)
         post2 = _col_dots(w, mw)
@@ -198,17 +203,28 @@ def lobpcg_pencil(
         w, mw = normalize_cols(w, mw)
         kw = _kmat(ops, w)
 
+        # P is a linear combination of the previous S, so its K/M products arrived from
+        # the recombination GEMMs — projection and normalization are linear and update
+        # them consistently: the pencil is NEVER applied to P.
         pdir = jnp.where(have_p, pdir, jnp.zeros_like(pdir))
-        mp = _mmat(ops, pdir)
+        kp = jnp.where(have_p, kp_in, jnp.zeros_like(kp_in))
+        mp = jnp.where(have_p, mp_in, jnp.zeros_like(mp_in))
         pre2p = _col_dots(pdir, mp)
-        pdir_o = pdir - x @ (mx.T @ pdir)
-        mp = _mmat(ops, pdir_o)
+        q = mx.T @ pdir
+        pdir_o = pdir - x @ q
+        mp = mp - mx @ q
+        kp = kp - kx @ q
         post2p = _col_dots(pdir_o, mp)
         livep = post2p > 1e-14 * jnp.maximum(pre2p, 1e-300)
         pdir_o = jnp.where(livep[None, :], pdir_o, 0.0)
         mp = jnp.where(livep[None, :], mp, 0.0)
-        pdir_o, mp = normalize_cols(pdir_o, mp)
-        kp = _kmat(ops, pdir_o)
+        kp = jnp.where(livep[None, :], kp, 0.0)
+        cn = _col_dots(pdir_o, mp)
+        livec = cn > 1e-300
+        d = jnp.where(livec, 1.0 / jnp.sqrt(jnp.where(livec, cn, 1.0)), 0.0)
+        pdir_o = pdir_o * d[None, :]
+        mp = mp * d[None, :]
+        kp = kp * d[None, :]
 
         # W/P cross-correlations are absorbed by the host whitening, not projected here.
         s = jnp.concatenate([x, w, pdir_o], axis=1)
@@ -216,13 +232,15 @@ def lobpcg_pencil(
         ms = jnp.concatenate([mx, mw, mp], axis=1)
         a = s.T @ ks
         b = s.T @ ms
-        return s, ks, ms, a, b, res_norm
+        # One packed download: the tunnel pays per transfer, not just per byte.
+        ab = jnp.stack([a, b])
+        return s, ks, ms, ab, res_norm
 
     @jax.jit
     def recombine(s, ks, ms, c, c_wp):
-        # K X and M X carry through the linear recombination — the pencil is only ever
-        # applied to the W/P blocks.
-        return s @ c, ks @ c, ms @ c, s @ c_wp
+        # K X / M X (and K P / M P) carry through the linear recombination — the pencil
+        # is only ever applied to the W block.
+        return s @ c, ks @ c, ms @ c, s @ c_wp, ks @ c_wp, ms @ c_wp
 
     @jax.jit
     def refresh(ops, x):
@@ -239,7 +257,7 @@ def lobpcg_pencil(
     x, kx, mx, a, b = init_stage(op_state, x)
     theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
     zeros_c = np.zeros_like(c_np)
-    x, kx, mx, pdir = recombine(x, kx, mx, jnp.asarray(c_np), jnp.asarray(zeros_c))
+    x, kx, mx, pdir, kp, mp = recombine(x, kx, mx, jnp.asarray(c_np), jnp.asarray(zeros_c))
     theta = jnp.asarray(theta_np)
     ops = 3  # init + recombined products
     prev = np.full(p, np.inf)
@@ -248,9 +266,12 @@ def lobpcg_pencil(
 
     for it in range(max_iters):
         have_p = jnp.asarray(it > 0)
-        s, ks, ms, a, b, res_norm = step_stage(op_state, x, kx, mx, theta, pdir, have_p)
-        ops += 4 + 2 * inner_iters
-        theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
+        s, ks, ms, ab, res_norm = step_stage(
+            op_state, x, kx, mx, theta, pdir, kp, mp, have_p
+        )
+        ops += 2 + 2 * inner_iters
+        ab_np = np.asarray(ab)
+        theta_np, c_np = _solve_reduced(ab_np[0], ab_np[1], p)
         iterations = it + 1
         lam = theta_np
         if not np.isfinite(lam[:nev]).all():
@@ -258,7 +279,7 @@ def lobpcg_pencil(
             return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
         c_wp = c_np.copy()
         c_wp[:p, :] = 0.0  # P carries the W/P share of the update (LOBPCG momentum)
-        x, kx, mx, pdir = recombine(s, ks, ms, jnp.asarray(c_np), jnp.asarray(c_wp))
+        x, kx, mx, pdir, kp, mp = recombine(s, ks, ms, jnp.asarray(c_np), jnp.asarray(c_wp))
         theta = jnp.asarray(theta_np)
         if refresh_every and (it + 1) % refresh_every == 0:
             kx, mx = refresh(op_state, x)  # shed recombination drift

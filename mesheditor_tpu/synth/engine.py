@@ -229,40 +229,46 @@ class ModalSynth:
         self.voices = v
 
     def _drain_events(self) -> None:
+        """Apply queued events to the impact table with ONE host->device transfer per
+        field (the table mirrors to numpy, mutates there, re-uploads) — per-event device
+        updates would pay a dispatch round trip each when the chip sits behind a tunnel."""
+        if not self._pending_events:
+            return
         imp = self.impacts
+        host = {
+            "active": np.asarray(imp.active).copy(),
+            "obj": np.asarray(imp.obj).copy(),
+            "expos": np.asarray(imp.expos).copy(),
+            "j": np.asarray(imp.j).copy(),
+            "pulse_step": np.asarray(imp.pulse_step).copy(),
+            "gamma": np.asarray(imp.gamma).copy(),
+            "accel_amp": np.asarray(imp.accel_amp).copy(),
+            "age": np.asarray(imp.age).copy(),
+            "total": np.asarray(imp.total).copy(),
+        }
+        silenced: list[int] = []
         for e in self._pending_events:
             if e.obj >= self.params.coeff_re.shape[0]:
                 continue
             if e.kind == "impact" and e.pulse_step > 0:
-                free = np.flatnonzero(~np.asarray(imp.active))
+                free = np.flatnonzero(~host["active"])
                 if free.size == 0:
                     self.events_dropped += 1
                     continue
                 i = int(free[0])
-                imp = ImpactTable(
-                    active=imp.active.at[i].set(True),
-                    obj=imp.obj.at[i].set(e.obj),
-                    expos=imp.expos.at[i].set(e.expos),
-                    j=imp.j.at[i].set(jnp.asarray(e.j, jnp.float32)),
-                    pulse_step=imp.pulse_step.at[i].set(e.pulse_step),
-                    gamma=imp.gamma.at[i].set(e.pulse_gamma),
-                    accel_amp=imp.accel_amp.at[i].set(e.accel_amp),
-                    age=imp.age.at[i].set(0),
-                    total=imp.total.at[i].set(int(np.ceil(1.0 / e.pulse_step))),
-                )
+                host["active"][i] = True
+                host["obj"][i] = e.obj
+                host["expos"][i] = e.expos
+                host["j"][i] = e.j
+                host["pulse_step"][i] = e.pulse_step
+                host["gamma"][i] = e.pulse_gamma
+                host["accel_amp"][i] = e.accel_amp
+                host["age"][i] = 0
+                host["total"][i] = int(np.ceil(1.0 / e.pulse_step))
             elif e.kind == "silence":
-                # Clear the object's ringing state and drop its pulses/voices.
                 o = e.obj
-                self.state = BankState(
-                    z_re=self.state.z_re.at[o].set(0.0),
-                    z_im=self.state.z_im.at[o].set(0.0),
-                )
-                drop = np.asarray(imp.obj) == o
-                imp = ImpactTable(
-                    active=imp.active & jnp.asarray(~drop),
-                    obj=imp.obj, expos=imp.expos, j=imp.j, pulse_step=imp.pulse_step,
-                    gamma=imp.gamma, accel_amp=imp.accel_amp, age=imp.age, total=imp.total,
-                )
+                silenced.append(o)
+                host["active"] &= host["obj"] != o
                 for vid, row in list(self._voice_ids.items()):
                     if int(np.asarray(self.voices.obj[row])) == o and bool(
                         np.asarray(self.voices.active[row])
@@ -270,7 +276,12 @@ class ModalSynth:
                         self.voices = _clear_voice_row(self.voices, row)
                         del self._voice_ids[vid]
         self._pending_events.clear()
-        self.impacts = imp
+        self.impacts = ImpactTable(**{k: jnp.asarray(v) for k, v in host.items()})
+        if silenced:
+            mask = np.ones(self.params.coeff_re.shape[0], np.float32)
+            mask[silenced] = 0.0
+            m = jnp.asarray(mask)[:, None]
+            self.state = BankState(z_re=self.state.z_re * m, z_im=self.state.z_im * m)
 
     # ---- block render ----
 
