@@ -16,6 +16,7 @@ positions reaching the same point share one sample point (and one shape row).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -156,6 +157,12 @@ def mesh2modes(
             progress(0.3 + 0.65 * min(settled / max(fem_n_modes, 1), 1.0))
         return bool(cancelled and cancelled())
 
+    # Deeper inner solves buy fewer outer iterations; each outer iteration pays host
+    # Rayleigh-Ritz + device<->host Gram traffic, so on big panels the trade wins.
+    inner_iters = int(os.environ.get("MESHEDITOR_TPU_INNER_ITERS", "0")) or (
+        48 if fem_n_modes >= 128 else 24
+    )
+
     t0 = time.perf_counter()
     eig = lobpcg_pencil(
         lambda o, x: o.kmat(x),
@@ -171,6 +178,7 @@ def mesh2modes(
         x0=x0,
         tol=tol,
         max_iters=config.max_restarts,
+        inner_iters=inner_iters,
         callback=callback,
     )
     profile.iterate = time.perf_counter() - t0
