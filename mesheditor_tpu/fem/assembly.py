@@ -73,25 +73,38 @@ class ElementOperators:
     rho_vol: jax.Array
     rho_vol_f32: jax.Array
     m_unit: jax.Array
+    # Diagonal fix-up for dofs no element touches (orphan/padding vertices): a unit
+    # stiffness over a vanishing mass parks their eigenvalues ~1e20, far above any
+    # audible window, instead of leaving a singular 0/0 pencil block.
+    k_fix: jax.Array
+    m_fix: jax.Array
     n_dofs: int
 
+    def _fix(self, y, x, fix):
+        return y + (fix[:, None] * x if x.ndim > 1 else fix * x)
+
     def kmat(self, x: jax.Array) -> jax.Array:
-        return _apply_k(self.elem_dofs, self.k_blocks, x, self.n_dofs)
+        return self._fix(_apply_k(self.elem_dofs, self.k_blocks, x, self.n_dofs), x, self.k_fix)
 
     def mmat(self, x: jax.Array) -> jax.Array:
-        return _apply_m(self.elem_dofs, self.rho_vol, self.m_unit, x, self.n_dofs)
+        return self._fix(_apply_m(self.elem_dofs, self.rho_vol, self.m_unit, x, self.n_dofs), x, self.m_fix)
 
     def kmat_f32(self, x: jax.Array) -> jax.Array:
-        return _apply_k(self.elem_dofs, self.k_blocks_f32, x, self.n_dofs)
+        y = _apply_k(self.elem_dofs, self.k_blocks_f32, x, self.n_dofs)
+        return self._fix(y, x, self.k_fix.astype(jnp.float32))
 
     def mmat_f32(self, x: jax.Array) -> jax.Array:
-        return _apply_m(self.elem_dofs, self.rho_vol_f32, self.m_unit.astype(jnp.float32),
-                        x, self.n_dofs)
+        y = _apply_m(self.elem_dofs, self.rho_vol_f32, self.m_unit.astype(jnp.float32),
+                     x, self.n_dofs)
+        return self._fix(y, x, self.m_fix.astype(jnp.float32))
 
 
 jax.tree_util.register_dataclass(
     ElementOperators,
-    data_fields=("elem_dofs", "k_blocks", "k_blocks_f32", "rho_vol", "rho_vol_f32", "m_unit"),
+    data_fields=(
+        "elem_dofs", "k_blocks", "k_blocks_f32", "rho_vol", "rho_vol_f32", "m_unit",
+        "k_fix", "m_fix",
+    ),
     meta_fields=("n_dofs",),
 )
 
@@ -266,6 +279,10 @@ def assemble_element_matrices(
     nodes = jnp.asarray(quad.element_nodes.astype(np.int32))
     elem_dofs = (3 * nodes[:, :, None] + jnp.arange(3, dtype=jnp.int32)).reshape(-1, 30)
     rho_vol = (material.density * volume).astype(dtype)
+    touched = np.zeros(n_dofs, bool)
+    touched[np.unique(np.asarray(elem_dofs).reshape(-1))] = True
+    k_fix = jnp.asarray(np.where(touched, 0.0, 1.0), dtype)
+    m_fix = jnp.asarray(np.where(touched, 0.0, 1e-20), dtype)
     return ElementOperators(
         elem_dofs=elem_dofs,
         k_blocks=k_blocks.astype(dtype),
@@ -273,6 +290,8 @@ def assemble_element_matrices(
         rho_vol=rho_vol,
         rho_vol_f32=rho_vol.astype(jnp.float32),
         m_unit=m_unit.astype(dtype),
+        k_fix=k_fix,
+        m_fix=m_fix,
         n_dofs=n_dofs,
     )
 
@@ -285,4 +304,4 @@ def pencil_diagonals(ops: ElementOperators):
     flat_ids = ops.elem_dofs.reshape(-1)
     k_diag = jax.ops.segment_sum(k_diag_e.reshape(-1), flat_ids, num_segments=ops.n_dofs)
     m_diag = jax.ops.segment_sum(m_diag_e.reshape(-1), flat_ids, num_segments=ops.n_dofs)
-    return k_diag, m_diag
+    return k_diag + ops.k_fix, m_diag + ops.m_fix

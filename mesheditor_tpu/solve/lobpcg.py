@@ -237,9 +237,13 @@ def lobpcg_pencil(
         return s, ks, ms, ab, res_norm
 
     @jax.jit
-    def recombine(s, ks, ms, c, c_wp):
+    def recombine(s, ks, ms, c2):
         # K X / M X (and K P / M P) carry through the linear recombination — the pencil
-        # is only ever applied to the W block.
+        # is only ever applied to the W block. c2 = stack([c, c_wp]) uploads as ONE f32
+        # array: f32 weights perturb the basis by ~1e-7 within the same subspace, which
+        # the f64 Rayleigh-Ritz corrects; eigenvalue accuracy is unaffected.
+        c = c2[0].astype(s.dtype)
+        c_wp = c2[1].astype(s.dtype)
         return s @ c, ks @ c, ms @ c, s @ c_wp, ks @ c_wp, ms @ c_wp
 
     @jax.jit
@@ -256,8 +260,8 @@ def lobpcg_pencil(
 
     x, kx, mx, a, b = init_stage(op_state, x)
     theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
-    zeros_c = np.zeros_like(c_np)
-    x, kx, mx, pdir, kp, mp = recombine(x, kx, mx, jnp.asarray(c_np), jnp.asarray(zeros_c))
+    c2 = np.stack([c_np, np.zeros_like(c_np)]).astype(np.float32)
+    x, kx, mx, pdir, kp, mp = recombine(x, kx, mx, jnp.asarray(c2))
     theta = jnp.asarray(theta_np)
     ops = 3  # init + recombined products
     prev = np.full(p, np.inf)
@@ -279,7 +283,8 @@ def lobpcg_pencil(
             return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
         c_wp = c_np.copy()
         c_wp[:p, :] = 0.0  # P carries the W/P share of the update (LOBPCG momentum)
-        x, kx, mx, pdir, kp, mp = recombine(s, ks, ms, jnp.asarray(c_np), jnp.asarray(c_wp))
+        c2 = np.stack([c_np, c_wp]).astype(np.float32)
+        x, kx, mx, pdir, kp, mp = recombine(s, ks, ms, jnp.asarray(c2))
         theta = jnp.asarray(theta_np)
         if refresh_every and (it + 1) % refresh_every == 0:
             kx, mx = refresh(op_state, x)  # shed recombination drift
