@@ -1,6 +1,8 @@
 from .primitives import (
     bar_tets,
     box_tets,
+    circle_surface,
+    cone_surface,
     cuboid_surface,
     cylinder_surface,
     grid_box_surface,
@@ -10,6 +12,7 @@ from .primitives import (
     uv_sphere_surface,
 )
 from .obj_io import load_obj, save_obj
+from .ply_io import load_ply, save_ply
 
 __all__ = [
     "bar_tets",
@@ -21,6 +24,10 @@ __all__ = [
     "plane_surface",
     "torus_surface",
     "uv_sphere_surface",
+    "circle_surface",
+    "cone_surface",
     "load_obj",
     "save_obj",
+    "load_ply",
+    "save_ply",
 ]

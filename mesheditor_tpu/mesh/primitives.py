@@ -198,6 +198,31 @@ def torus_surface(major_radius=0.5, minor_radius=0.2, n_major=32, n_minor=16):
     return pts, tris.astype(np.uint32)
 
 
+def circle_surface(radius=0.5, n_seg=32):
+    """Flat disc fan."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    pts = np.concatenate([[[0.0, 0.0, 0.0]],
+                          np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                                    np.zeros(n_seg)], axis=-1)])
+    tris = [[0, 1 + i, 1 + (i + 1) % n_seg] for i in range(n_seg)]
+    return pts, np.asarray(tris, dtype=np.uint32)
+
+
+def cone_surface(radius=0.5, height=1.0, n_seg=32):
+    """Closed cone: apex up, disc base."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                     np.full(n_seg, -height / 2)], axis=-1)
+    pts = np.concatenate([[[0.0, 0.0, height / 2]], ring, [[0.0, 0.0, -height / 2]]])
+    base_c = n_seg + 1
+    tris = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        tris.append([0, 1 + i, 1 + j])  # side
+        tris.append([base_c, 1 + j, 1 + i])  # base
+    return pts, np.asarray(tris, dtype=np.uint32)
+
+
 def cylinder_surface(radius=0.5, height=1.0, n_seg=32):
     ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
     ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=-1)
