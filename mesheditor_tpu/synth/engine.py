@@ -121,6 +121,11 @@ class ModalSynth:
         self.click_gain = 1.0
         self.sustain_level = 1.0
         self.coupling = 1.0
+        # Pallas fast path: "auto" tries the VMEM-resident impact kernel for voice-free
+        # blocks and falls back to the scan on any failure; False disables it.
+        self.use_pallas = "auto"
+        self._pallas_ok: Optional[bool] = None
+        self._max_impacts_per_object = 0
 
     # ---- events (the SPSC ring analog) ----
 
@@ -276,6 +281,10 @@ class ModalSynth:
                         self.voices = _clear_voice_row(self.voices, row)
                         del self._voice_ids[vid]
         self._pending_events.clear()
+        live = host["active"]
+        self._max_impacts_per_object = int(
+            np.bincount(host["obj"][live]).max() if live.any() else 0
+        )
         self.impacts = ImpactTable(**{k: jnp.asarray(v) for k, v in host.items()})
         if silenced:
             mask = np.ones(self.params.coeff_re.shape[0], np.float32)
@@ -292,6 +301,11 @@ class ModalSynth:
         signal is needed host-side."""
         self._drain_events()
         self._adopt_voices()
+        if self._pallas_candidate(num_samples):
+            out = self._render_pallas(num_samples)
+            if out is not None:
+                self._idle_samples += num_samples
+                return out
         self.state, self.impacts, self.voices, out = render_block(
             self.params,
             self.state,
@@ -304,6 +318,33 @@ class ModalSynth:
             self.coupling,
         )
         self._idle_samples += num_samples
+        return out
+
+    def _pallas_candidate(self, num_samples: int) -> bool:
+        from .pallas_impact import CHUNK, MAX_PER_OBJECT
+
+        return (
+            self.use_pallas
+            and self._pallas_ok is not False
+            and not self._voice_ids
+            and self._max_impacts_per_object <= MAX_PER_OBJECT
+            and num_samples % CHUNK == 0
+        )
+
+    def _render_pallas(self, num_samples: int):
+        from .pallas_impact import render_block_impacts_pallas
+
+        try:
+            state, impacts, out = render_block_impacts_pallas(
+                self.params, self.state, self.impacts, num_samples, self.click_gain
+            )
+            if self._pallas_ok is None:
+                np.asarray(out[:1])  # force compile+run once so failures surface here
+                self._pallas_ok = True
+        except Exception:  # noqa: BLE001 — any kernel/backend failure -> scan path
+            self._pallas_ok = False
+            return None
+        self.state, self.impacts = state, impacts
         return out
 
     def render_seconds(self, seconds: float, block_size: int = 512,
