@@ -8,7 +8,7 @@ Field edits clamp against a FieldLimits table (reference: src/action/Dispatch.h:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields, is_dataclass
+from dataclasses import dataclass, fields
 from typing import Union
 
 import numpy as np

@@ -232,9 +232,12 @@ def lobpcg_pencil(
         ms = jnp.concatenate([mx, mw, mp], axis=1)
         a = s.T @ ks
         b = s.T @ ms
-        # One packed download: the tunnel pays per transfer, not just per byte.
-        ab = jnp.stack([a, b])
-        return s, ks, ms, ab, res_norm
+        # Transfer slimming (the tunnel is ~10 MB/s): a is symmetric, so only its lower
+        # triangle travels in f64; b only whitens, so f32 is plenty (1e-7 on ~unit values).
+        q = a.shape[0]
+        tri = jnp.tril_indices(q)
+        a_tri = a[tri]
+        return s, ks, ms, a_tri, b.astype(jnp.float32), res_norm
 
     @jax.jit
     def recombine(s, ks, ms, c2):
@@ -258,6 +261,14 @@ def lobpcg_pencil(
         seeded = min(x0.shape[1], p)
         x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
 
+    def unpack_reduced(a_tri_np, b32_np):
+        q = b32_np.shape[0]
+        a_full = np.zeros((q, q))
+        il = np.tril_indices(q)
+        a_full[il] = a_tri_np
+        a_full = a_full + np.tril(a_full, -1).T
+        return a_full, b32_np.astype(np.float64)
+
     x, kx, mx, a, b = init_stage(op_state, x)
     theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
     c2 = np.stack([c_np, np.zeros_like(c_np)]).astype(np.float32)
@@ -270,12 +281,12 @@ def lobpcg_pencil(
 
     for it in range(max_iters):
         have_p = jnp.asarray(it > 0)
-        s, ks, ms, ab, res_norm = step_stage(
+        s, ks, ms, a_tri, b32, res_norm = step_stage(
             op_state, x, kx, mx, theta, pdir, kp, mp, have_p
         )
         ops += 2 + 2 * inner_iters
-        ab_np = np.asarray(ab)
-        theta_np, c_np = _solve_reduced(ab_np[0], ab_np[1], p)
+        a_np, b_np = unpack_reduced(np.asarray(a_tri), np.asarray(b32))
+        theta_np, c_np = _solve_reduced(a_np, b_np, p)
         iterations = it + 1
         lam = theta_np
         if not np.isfinite(lam[:nev]).all():

@@ -18,7 +18,7 @@ bit-identical; given different block sizes, it is exact for the voice path (see 
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ from .bank import (
     TrackPool,
     VoiceTable,
     build_bank,
-    tune_coeffs,
 )
 from .render import render_block
 from .tracks import RoughnessTrack, TRACK_SAMPLES
