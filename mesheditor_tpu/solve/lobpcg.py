@@ -232,12 +232,10 @@ def lobpcg_pencil(
         ms = jnp.concatenate([mx, mw, mp], axis=1)
         a = s.T @ ks
         b = s.T @ ms
-        # Transfer slimming (the tunnel is ~10 MB/s): a is symmetric, so only its lower
-        # triangle travels in f64; b only whitens, so f32 is plenty (1e-7 on ~unit values).
-        q = a.shape[0]
-        tri = jnp.tril_indices(q)
-        a_tri = a[tri]
-        return s, ks, ms, a_tri, b.astype(jnp.float32), res_norm
+        # Transfer slimming (the tunnel is ~10 MB/s): b only whitens, so f32 is plenty
+        # (1e-7 on ~unit values). a stays full f64 — a triangle-packing gather measured
+        # slower than the bytes it saved on this backend.
+        return s, ks, ms, a, b.astype(jnp.float32), res_norm
 
     @jax.jit
     def recombine(s, ks, ms, c2):
@@ -261,14 +259,6 @@ def lobpcg_pencil(
         seeded = min(x0.shape[1], p)
         x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
 
-    def unpack_reduced(a_tri_np, b32_np):
-        q = b32_np.shape[0]
-        a_full = np.zeros((q, q))
-        il = np.tril_indices(q)
-        a_full[il] = a_tri_np
-        a_full = a_full + np.tril(a_full, -1).T
-        return a_full, b32_np.astype(np.float64)
-
     x, kx, mx, a, b = init_stage(op_state, x)
     theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
     c2 = np.stack([c_np, np.zeros_like(c_np)]).astype(np.float32)
@@ -281,12 +271,11 @@ def lobpcg_pencil(
 
     for it in range(max_iters):
         have_p = jnp.asarray(it > 0)
-        s, ks, ms, a_tri, b32, res_norm = step_stage(
+        s, ks, ms, a_d, b32, res_norm = step_stage(
             op_state, x, kx, mx, theta, pdir, kp, mp, have_p
         )
         ops += 2 + 2 * inner_iters
-        a_np, b_np = unpack_reduced(np.asarray(a_tri), np.asarray(b32))
-        theta_np, c_np = _solve_reduced(a_np, b_np, p)
+        theta_np, c_np = _solve_reduced(np.asarray(a_d), np.asarray(b32).astype(np.float64), p)
         iterations = it + 1
         lam = theta_np
         if not np.isfinite(lam[:nev]).all():

@@ -1,0 +1,100 @@
+"""RealImpact loader against a synthetic miniature dataset (the real 128 GB corpus is
+gated by REALIMPACT_DATASET_DIR, as the reference gates its dataset tests)."""
+
+import numpy as np
+import pytest
+
+from mesheditor_tpu.io.realimpact import (
+    NUM_IMPACT_VERTICES,
+    NUM_LISTENER_POINTS,
+    load_listener_points,
+    load_realimpact_scan,
+    load_samples,
+    material_for,
+    validate_directory,
+    z_up_to_y_up,
+)
+from mesheditor_tpu.mesh import icosphere_surface, save_obj
+
+
+@pytest.fixture
+def fake_dataset(tmp_path):
+    obj_dir = tmp_path / "9_BowlCeramic"
+    pre = obj_dir / "preprocessed"
+    pre.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n = NUM_LISTENER_POINTS
+    np.save(pre / "angle.npy", np.repeat(np.arange(10) * 36, 60)[:n])
+    np.save(pre / "distance.npy", np.tile(np.repeat([250, 500, 750, 1000], 15), 10)[:n])
+    np.save(pre / "micID.npy", np.tile(np.arange(15), 40)[:n])
+    np.save(pre / "listenerXYZ.npy", rng.uniform(-2000, 2000, (n, 3)))
+    # vertexXYZ: one row per (listener, impact) pair.
+    vxyz = np.repeat(rng.uniform(-100, 100, (NUM_IMPACT_VERTICES, 3)), n, axis=0)
+    np.save(pre / "vertexXYZ.npy", vxyz)
+    np.save(pre / "deconvolved_0db.npy",
+            rng.standard_normal((n * NUM_IMPACT_VERTICES, 480)).astype(np.float32))
+    pts, tris = icosphere_surface(1)
+    save_obj(pre / "transformed.obj", pts * 100, tris)
+    return obj_dir
+
+
+class TestRealImpactLoader:
+    def test_validate_and_material(self, fake_dataset):
+        assert validate_directory(fake_dataset) == "BowlCeramic"
+        assert material_for("BowlCeramic") == "Ceramic"
+        assert material_for("IronSkillet") == "Iron"
+        assert material_for("UnknownThing") is None
+
+    def test_listener_points(self, fake_dataset):
+        pts = load_listener_points(fake_dataset)
+        assert len(pts) == NUM_LISTENER_POINTS
+        assert pts[263].index == 263
+        # mm -> m conversion keeps positions in a meter-scale range.
+        assert max(abs(float(np.abs(p.position).max())) for p in pts) < 3.0
+
+    def test_samples_memory_mapped(self, fake_dataset):
+        s = load_samples(fake_dataset, listener_point_index=5)
+        assert s.shape == (NUM_IMPACT_VERTICES, 480)
+        assert s.dtype == np.float32
+
+    def test_full_scan(self, fake_dataset):
+        scan = load_realimpact_scan(fake_dataset)
+        assert scan.object_name == "BowlCeramic"
+        assert scan.material_name == "Ceramic"
+        assert scan.impact_positions.shape == (NUM_IMPACT_VERTICES, 3)
+        assert scan.positions.shape[1] == 3
+        assert scan.triangles.shape[1] == 3
+
+    def test_z_up_rotation_involution_free(self):
+        p = np.array([[1.0, 2.0, 3.0]])
+        q = z_up_to_y_up(p)
+        # (x, y, z) -> (-x, z, y): Y-up with a 180-degree flip.
+        assert np.allclose(q, [[-1.0, 3.0, 2.0]])
+
+    def test_missing_dir_rejected(self, tmp_path):
+        assert validate_directory(tmp_path / "nope") is None
+        with pytest.raises(FileNotFoundError):
+            load_realimpact_scan(tmp_path / "nope")
+
+
+class TestAudioDeterminismCorpus:
+    def test_same_scene_same_bytes(self):
+        """The render-corpus discipline (reference: deterministic headless corpus,
+        README.md:184-197) in the audio domain: two runs of the same scene in one
+        process produce byte-identical signals."""
+        import mesheditor_tpu  # noqa: F401
+        from mesheditor_tpu.synth import ModalSynth, ModalEvent
+        from mesheditor_tpu.types import ModalModes
+
+        def run():
+            m = ModalModes(freqs=np.linspace(100, 5000, 24), t60s=np.full(24, 0.2),
+                           shapes=np.full((2, 24, 3), 0.01, np.float32))
+            s = ModalSynth([m] * 3, gains=[1.0] * 3, max_impacts=8, max_voices=2)
+            for o in range(3):
+                s.enqueue(ModalEvent("impact", obj=o, j=(0.1, 0.05, 0), pulse_step=1 / 200,
+                                     pulse_gamma=1.0, accel_amp=0.01))
+            return np.concatenate([np.asarray(s.render(512)) for _ in range(6)])
+
+        a, b = run(), run()
+        assert np.array_equal(a, b)
+        assert np.abs(a).max() > 0
