@@ -194,6 +194,57 @@ class TrackPool:
 _register(TrackPool, data_fields=("heights", "sums"))
 
 
+# Packed voice-state upload layout (engine -> device, two buffers per dirty block instead
+# of hundreds of per-field row updates, which cost a dispatch round trip each):
+# f32 (V, 36): blend_w 0:3 | normal 3:6 | slip 6:9 | sweep 9:15 | normal_force 15 |
+#   friction 16 | stiffness 17 | static_pen 18 | damping 19 | track_rate 20:24 |
+#   track_sigma 24:28 | track_window 28:32 | track_step 32:36
+# i32 (V, 10): obj 0 | blend_pts 1:4 | track_idx 4:8 | active 8 | reset 9
+VOICE_F32_COLS = 36
+VOICE_I32_COLS = 10
+
+
+@jax.jit
+def apply_voice_state(voices: "VoiceTable", f32buf: jax.Array, i32buf: jax.Array) -> "VoiceTable":
+    """Write the published per-voice STATE into the device table and reset the carries of
+    freshly opened rows (reset column). Carries of persisting voices are untouched — they
+    only ever live on device (the reference's SustainedCarry analog)."""
+    f = f32buf.astype(jnp.float32)
+    i = i32buf.astype(jnp.int32)
+    reset = (i[:, 9] != 0)[:, None]
+    n_track = voices.pos_base.shape[1]
+    # Fresh tracks of one contact start a quarter-cycle apart (reference: StepVoice
+    # priming, ModalAudio.cpp:243-247).
+    offsets = jnp.arange(n_track, dtype=jnp.float64)[None, :] * (
+        float(TRACK_SAMPLES) / n_track
+    )
+    return VoiceTable(
+        active=i[:, 8] != 0,
+        obj=i[:, 0],
+        blend_pts=i[:, 1:4],
+        blend_w=f[:, 0:3],
+        normal=f[:, 3:6],
+        slip=f[:, 6:9],
+        sweep=f[:, 9:15].reshape(-1, 2, 3),
+        normal_force=f[:, 15],
+        friction=f[:, 16],
+        stiffness=f[:, 17],
+        static_pen=f[:, 18],
+        damping=f[:, 19],
+        track_idx=i[:, 4:8],
+        track_rate=f[:, 20:24],
+        track_sigma=f[:, 24:28],
+        track_window=f[:, 28:32],
+        track_step=f[:, 32:36],
+        pos_base=jnp.where(reset, offsets, voices.pos_base),
+        age=jnp.where(reset[:, 0], 0, voices.age),
+        prev_height=jnp.where(reset, 0.0, voices.prev_height),
+        relief_mean=jnp.where(reset[:, 0], 0.0, voices.relief_mean),
+        penetration=jnp.where(reset[:, 0], 0.0, voices.penetration),
+        primed=jnp.where(reset[:, 0], False, voices.primed),
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

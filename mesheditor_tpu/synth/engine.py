@@ -31,6 +31,7 @@ from .bank import (
     ImpactTable,
     TrackPool,
     VoiceTable,
+    apply_voice_state,
     build_bank,
 )
 from .render import render_block
@@ -125,6 +126,13 @@ class ModalSynth:
         self.use_pallas = "auto"
         self._pallas_ok: Optional[bool] = None
         self._max_impacts_per_object = 0
+        # Host mirror of the voice STATE (packed upload layout, see bank.apply_voice_state);
+        # carries live only on device.
+        from .bank import VOICE_F32_COLS, VOICE_I32_COLS
+
+        self._voice_f32 = np.zeros((max_voices, VOICE_F32_COLS), np.float32)
+        self._voice_i32 = np.zeros((max_voices, VOICE_I32_COLS), np.int32)
+        self._voice_i32[:, 4:8] = -1
 
     # ---- events (the SPSC ring analog) ----
 
@@ -166,8 +174,7 @@ class ModalSynth:
         else:
             live = set()
             for v in self._voice_ids.values():
-                idx = np.asarray(self.voices.track_idx[v])
-                live.update(int(i) for i in idx if i >= 0)
+                live.update(int(i) for i in self._voice_i32[v, 4:8] if i >= 0)
             if self._published:
                 for voice in self._published:
                     for t in voice.tracks:
@@ -201,7 +208,35 @@ class ModalSynth:
         self._published = list(voices)
         self._publish_fresh = True
 
+    def _write_voice_row(self, row: int, s: SustainedVoice, reset: bool) -> None:
+        """Write one voice's STATE into the host mirror (carries live only on device)."""
+        f = self._voice_f32[row]
+        i = self._voice_i32[row]
+        f[0:3] = s.blend_weights
+        f[3:6] = s.normal
+        f[6:9] = s.slip_dir
+        f[9:15] = np.asarray(s.sweep_dir, np.float32).reshape(6)
+        f[15] = s.normal_force
+        f[16] = s.friction
+        f[17] = s.stiffness
+        f[18] = s.static_penetration
+        f[19] = s.damping_coeff
+        tracks = list(s.tracks)[:4] + [ContactTrackSpec()] * max(0, 4 - len(s.tracks))
+        f[20:24] = [t.rate for t in tracks]
+        f[24:28] = [t.sigma for t in tracks]
+        f[28:32] = [t.window for t in tracks]
+        f[32:36] = [t.step for t in tracks]
+        i[0] = s.obj
+        i[1:4] = s.blend_points
+        i[4:8] = [t.index for t in tracks]
+        i[8] = 1
+        if reset:
+            i[9] = 1
+
     def _adopt_voices(self) -> None:
+        """Reconcile the published set into the host voice-state mirror, then apply it to
+        the device table with ONE packed upload (apply_voice_state) — per-row device
+        updates cost a dispatch round trip each behind a tunnel."""
         published = self._published
         if self._publish_fresh:
             self._idle_samples = 0
@@ -210,27 +245,36 @@ class ModalSynth:
             self.sample_rate * MAX_VOICE_IDLE_SECONDS
         )
         named = {v.voice_id for v in published} if (reporting and published) else set()
-        v = self.voices
+        dirty = False
         # End voices the newest set omits.
         for vid in list(self._voice_ids):
             if vid not in named:
                 row = self._voice_ids.pop(vid)
-                v = _clear_voice_row(v, row)
+                self._voice_f32[row] = 0.0
+                self._voice_i32[row] = 0
+                self._voice_i32[row, 4:8] = -1
+                dirty = True
         if reporting and published:
             for voice in published:
                 if voice.obj >= self.params.coeff_re.shape[0]:
                     continue
                 if voice.voice_id in self._voice_ids:
                     row = self._voice_ids[voice.voice_id]
-                    v = _set_voice_state(v, row, voice, keep_carry=True)
+                    self._write_voice_row(row, voice, reset=False)
                 else:
-                    row = _find_free_row(v, self.max_voices)
-                    if row is None:
+                    free = np.flatnonzero(self._voice_i32[:, 8] == 0)
+                    if free.size == 0:
                         self.voices_refused += 1
                         continue
+                    row = int(free[0])
                     self._voice_ids[voice.voice_id] = row
-                    v = _set_voice_state(v, row, voice, keep_carry=False)
-        self.voices = v
+                    self._write_voice_row(row, voice, reset=True)
+                dirty = True
+        if dirty:
+            self.voices = apply_voice_state(
+                self.voices, jnp.asarray(self._voice_f32), jnp.asarray(self._voice_i32)
+            )
+            self._voice_i32[:, 9] = 0  # resets consumed
 
     def _drain_events(self) -> None:
         """Apply queued events to the impact table with ONE host->device transfer per
@@ -274,11 +318,14 @@ class ModalSynth:
                 silenced.append(o)
                 host["active"] &= host["obj"] != o
                 for vid, row in list(self._voice_ids.items()):
-                    if int(np.asarray(self.voices.obj[row])) == o and bool(
-                        np.asarray(self.voices.active[row])
-                    ):
-                        self.voices = _clear_voice_row(self.voices, row)
+                    if int(self._voice_i32[row, 0]) == o and self._voice_i32[row, 8]:
+                        self._voice_f32[row] = 0.0
+                        self._voice_i32[row] = 0
+                        self._voice_i32[row, 4:8] = -1
                         del self._voice_ids[vid]
+                        self.voices = apply_voice_state(
+                            self.voices, jnp.asarray(self._voice_f32),
+                            jnp.asarray(self._voice_i32))
         self._pending_events.clear()
         live = host["active"]
         self._max_impacts_per_object = int(
@@ -389,80 +436,3 @@ class ModalSynth:
 
         self.params = tune_object(self.params, obj, freqs, t60s)
 
-
-def _find_free_row(v: VoiceTable, capacity: int) -> Optional[int]:
-    free = np.flatnonzero(~np.asarray(v.active))
-    return int(free[0]) if free.size else None
-
-
-def _clear_voice_row(v: VoiceTable, row: int) -> VoiceTable:
-    return VoiceTable(
-        active=v.active.at[row].set(False),
-        obj=v.obj, blend_pts=v.blend_pts, blend_w=v.blend_w, normal=v.normal,
-        slip=v.slip, sweep=v.sweep, normal_force=v.normal_force, friction=v.friction,
-        stiffness=v.stiffness, static_pen=v.static_pen, damping=v.damping,
-        track_idx=v.track_idx.at[row].set(jnp.full(4, -1, jnp.int32)),
-        track_rate=v.track_rate, track_sigma=v.track_sigma,
-        track_window=v.track_window, track_step=v.track_step,
-        pos_base=v.pos_base,
-        age=v.age.at[row].set(0),
-        prev_height=v.prev_height.at[row].set(jnp.zeros(4, jnp.float32)),
-        relief_mean=v.relief_mean.at[row].set(0.0),
-        penetration=v.penetration.at[row].set(0.0),
-        primed=v.primed.at[row].set(False),
-    )
-
-
-def _set_voice_state(v: VoiceTable, row: int, s: SustainedVoice, keep_carry: bool) -> VoiceTable:
-    tracks = list(s.tracks)[:4] + [ContactTrackSpec()] * max(0, 4 - len(s.tracks))
-    idx = jnp.asarray([t.index for t in tracks], jnp.int32)
-    rate = jnp.asarray([t.rate for t in tracks], jnp.float32)
-    sigma = jnp.asarray([t.sigma for t in tracks], jnp.float32)
-    window = jnp.asarray([t.window for t in tracks], jnp.float32)
-    step = jnp.asarray([t.step for t in tracks], jnp.float32)
-    new = VoiceTable(
-        active=v.active.at[row].set(True),
-        obj=v.obj.at[row].set(s.obj),
-        blend_pts=v.blend_pts.at[row].set(jnp.asarray(s.blend_points, jnp.int32)),
-        blend_w=v.blend_w.at[row].set(jnp.asarray(s.blend_weights, jnp.float32)),
-        normal=v.normal.at[row].set(jnp.asarray(s.normal, jnp.float32)),
-        slip=v.slip.at[row].set(jnp.asarray(s.slip_dir, jnp.float32)),
-        sweep=v.sweep.at[row].set(jnp.asarray(s.sweep_dir, jnp.float32)),
-        normal_force=v.normal_force.at[row].set(s.normal_force),
-        friction=v.friction.at[row].set(s.friction),
-        stiffness=v.stiffness.at[row].set(s.stiffness),
-        static_pen=v.static_pen.at[row].set(s.static_penetration),
-        damping=v.damping.at[row].set(s.damping_coeff),
-        track_idx=v.track_idx.at[row].set(idx),
-        track_rate=v.track_rate.at[row].set(rate),
-        track_sigma=v.track_sigma.at[row].set(sigma),
-        track_window=v.track_window.at[row].set(window),
-        track_step=v.track_step.at[row].set(step),
-        pos_base=v.pos_base,
-        age=v.age,
-        prev_height=v.prev_height,
-        relief_mean=v.relief_mean,
-        penetration=v.penetration,
-        primed=v.primed,
-    )
-    if not keep_carry:
-        # A fresh voice: tracks of one contact start a quarter apart so two surfaces read
-        # one track at different positions (reference: StepVoice priming, ModalAudio.cpp:243-247).
-        offsets = jnp.asarray(
-            [i * TRACK_SAMPLES / 4.0 for i in range(4)], jnp.float64
-        )
-        new = VoiceTable(
-            active=new.active, obj=new.obj, blend_pts=new.blend_pts, blend_w=new.blend_w,
-            normal=new.normal, slip=new.slip, sweep=new.sweep,
-            normal_force=new.normal_force, friction=new.friction, stiffness=new.stiffness,
-            static_pen=new.static_pen, damping=new.damping,
-            track_idx=new.track_idx, track_rate=new.track_rate, track_sigma=new.track_sigma,
-            track_window=new.track_window, track_step=new.track_step,
-            pos_base=new.pos_base.at[row].set(offsets),
-            age=new.age.at[row].set(0),
-            prev_height=new.prev_height.at[row].set(jnp.zeros(4, jnp.float32)),
-            relief_mean=new.relief_mean.at[row].set(0.0),
-            penetration=new.penetration.at[row].set(0.0),
-            primed=new.primed.at[row].set(False),
-        )
-    return new
