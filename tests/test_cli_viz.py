@@ -1,0 +1,57 @@
+"""CLI surface and offscreen visualization."""
+
+import numpy as np
+import pytest
+
+import mesheditor_tpu  # noqa: F401
+
+
+class TestCli:
+    def test_solve_info_render(self, tmp_path):
+        from mesheditor_tpu.__main__ import main
+        from mesheditor_tpu.mesh import cuboid_surface, save_obj
+
+        pts, tris = cuboid_surface((0.04, 0.04, 0.04))
+        mesh_path = tmp_path / "cube.obj"
+        save_obj(mesh_path, pts, tris)
+        out_dir = tmp_path / "modal"
+        main(["solve", str(mesh_path), "--material", "Glass", "--modes", "10",
+              "--vertices", "4", "--tet-resolution", "7", "--max-freq", "48000",
+              "--out-dir", str(out_dir)])
+        models = list(out_dir.glob("*.npz"))
+        assert len(models) == 1
+        main(["info", str(models[0])])
+        wav = tmp_path / "out.wav"
+        main(["render", str(models[0]), "--out", str(wav), "--seconds", "0.3",
+              "--strikes", "2"])
+        assert wav.stat().st_size > 10_000
+
+    def test_unknown_material_exits(self, tmp_path):
+        from mesheditor_tpu.__main__ import main
+
+        with pytest.raises(SystemExit):
+            main(["solve", "x.obj", "--material", "Unobtanium"])
+
+
+class TestViz:
+    def test_mesh_and_mode_pngs(self, tmp_path):
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.types import ModalModes
+        from mesheditor_tpu.viz import plot_modes_png, plot_waveform_png, render_mesh_png
+
+        pts, tris = icosphere_surface(1)
+        p1 = tmp_path / "mesh.png"
+        render_mesh_png(p1, pts, tris, vertex_values=pts[:, 1], title="sphere")
+        assert p1.stat().st_size > 5_000
+
+        modes = ModalModes(freqs=np.linspace(100, 8000, 20), t60s=np.linspace(1, 0.05, 20),
+                           shapes=np.zeros((1, 20, 3), np.float32))
+        p2 = tmp_path / "modes.png"
+        plot_modes_png(p2, modes)
+        assert p2.stat().st_size > 5_000
+
+        t = np.arange(24000) / 48000
+        audio = np.exp(-t * 8) * np.sin(2 * np.pi * 700 * t)
+        p3 = tmp_path / "wave.png"
+        plot_waveform_png(p3, audio)
+        assert p3.stat().st_size > 5_000
