@@ -367,23 +367,38 @@ class ModalSynth:
         return out
 
     def _pallas_candidate(self, num_samples: int) -> bool:
+        import os
+
+        import jax
+
         from .pallas_impact import CHUNK, MAX_PER_OBJECT
 
+        on_tpu = jax.default_backend() == "tpu" or bool(
+            os.environ.get("MESHEDITOR_TPU_FORCE_PALLAS")
+        )
         return (
             self.use_pallas
+            and on_tpu
             and self._pallas_ok is not False
-            and not self._voice_ids
             and self._max_impacts_per_object <= MAX_PER_OBJECT
             and num_samples % CHUNK == 0
         )
 
     def _render_pallas(self, num_samples: int):
+        from .pallas_coupled import render_block_coupled_pallas
         from .pallas_impact import render_block_impacts_pallas
 
         try:
-            state, impacts, out = render_block_impacts_pallas(
-                self.params, self.state, self.impacts, num_samples, self.click_gain
-            )
+            if self._voice_ids:
+                state, impacts, voices, out = render_block_coupled_pallas(
+                    self.params, self.state, self.impacts, self.voices, self.pool,
+                    num_samples, self.click_gain, self.sustain_level, self.coupling,
+                )
+            else:
+                voices = None
+                state, impacts, out = render_block_impacts_pallas(
+                    self.params, self.state, self.impacts, num_samples, self.click_gain
+                )
             if self._pallas_ok is None:
                 np.asarray(out[:1])  # force compile+run once so failures surface here
                 self._pallas_ok = True
@@ -391,6 +406,8 @@ class ModalSynth:
             self._pallas_ok = False
             return None
         self.state, self.impacts = state, impacts
+        if voices is not None:
+            self.voices = voices
         return out
 
     def render_seconds(self, seconds: float, block_size: int = 512,
