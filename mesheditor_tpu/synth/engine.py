@@ -106,13 +106,11 @@ class ModalSynth:
         self.voices = VoiceTable.empty(max_voices)
         self.pool = TrackPool.empty(track_slots, TRACK_SAMPLES)
         self._pool_keys: dict[int, int] = {}  # content key -> slot
-        self._pool_used: list[int] = []  # slots in use, oldest first
         self._voice_ids: dict[int, int] = {}  # live voice id -> table row
         self._pending_events: list[ModalEvent] = []
         self._published: Optional[list[SustainedVoice]] = None
         self._publish_fresh = False
         self._idle_samples = 0
-        self._voices_reporting = False
         # Live counters (reference: ActiveVoices/ActiveImpacts + drop counters,
         # ModalAudio.h:204-206).
         self.events_dropped = 0
