@@ -269,8 +269,15 @@ class ModalSynth:
                     self._write_voice_row(row, voice, reset=True)
                 dirty = True
         if dirty:
+            # Upload COPIES: the transfer of a host buffer is asynchronous, so handing jax
+            # the live mirror and then mutating it (the reset-consumed clear below, or the
+            # next frame's publish) races the in-flight read and intermittently corrupts
+            # the device table (observed: fresh voices opening without their quarter-cycle
+            # track offsets whenever the dispatch queue was deep).
             self.voices = apply_voice_state(
-                self.voices, jnp.asarray(self._voice_f32), jnp.asarray(self._voice_i32)
+                self.voices,
+                jnp.asarray(self._voice_f32.copy()),
+                jnp.asarray(self._voice_i32.copy()),
             )
             self._voice_i32[:, 9] = 0  # resets consumed
 
@@ -321,9 +328,10 @@ class ModalSynth:
                         self._voice_i32[row] = 0
                         self._voice_i32[row, 4:8] = -1
                         del self._voice_ids[vid]
+                        # Copies for the same async-transfer reason as _adopt_voices.
                         self.voices = apply_voice_state(
-                            self.voices, jnp.asarray(self._voice_f32),
-                            jnp.asarray(self._voice_i32))
+                            self.voices, jnp.asarray(self._voice_f32.copy()),
+                            jnp.asarray(self._voice_i32.copy()))
         self._pending_events.clear()
         live = host["active"]
         self._max_impacts_per_object = int(

@@ -121,6 +121,7 @@ def render_block_impl(
     click_gain: float = 1.0,
     sustain_level: float = 1.0,
     coupling: float = 1.0,
+    debug: bool = False,
 ):
     """Advance the whole scene `num_samples` samples. Returns (state, impacts, voices, out).
 
@@ -237,12 +238,17 @@ def render_block_impl(
         new_re = z_re * params.coeff_re - z_im * params.coeff_im + excite
         new_im = z_re * params.coeff_im + z_im * params.coeff_re
         out_s = (params.out_gain[:, None] * new_im).sum()
+        if debug:
+            return (new_re, new_im, rm, pen), (out_s, rm, pen, force, relief_s)
         return (new_re, new_im, rm, pen), out_s
 
     xs = (force_imp.T, relief.T, slope0.T, slope1.T)  # (S, ...) per-step slices
     (z_re, z_im, rm_out, pen_out), out = jax.lax.scan(
         scan_step, (state.z_re, state.z_im, rm0, pen0), xs
     )
+    if debug:
+        out, rm_t, pen_t, force_t, relief_t = out
+        dbg_scan = {"rm_t": rm_t, "pen_t": pen_t, "force_t": force_t, "relief_t": relief_t}
     out = out + click
 
     # ---- Post-block bookkeeping ----
@@ -298,6 +304,10 @@ def render_block_impl(
     keep = (~silent)[:, None].astype(jnp.float32)
     state = BankState(z_re=z_re * keep, z_im=z_im * keep)
 
+    if debug:
+        dbg = {"relief": relief, "slope0": slope0, "slope1": slope1, "heights": heights,
+               "rm0": rm0, "rm_out": rm_out, "pen_out": pen_out, **dbg_scan}
+        return state, impacts, voices, out, dbg
     return state, impacts, voices, out
 
 
