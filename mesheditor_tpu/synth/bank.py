@@ -300,8 +300,9 @@ def build_bank(
             disp[o, :k] = ds
             p = m.shapes.shape[0]
             shapes[o, :p, :k, :] = m.shapes
-        if gains is not None:
-            out_gain[o] = gains[o]
+        # Unity mix when no gains are given — a zero default renders silence with no
+        # hint of why (api.make_synth passes the reference's mass-normalized gains).
+        out_gain[o] = 1.0 if gains is None else gains[o]
 
     params = BankParams(
         coeff_re=jnp.asarray(coeff_re),
