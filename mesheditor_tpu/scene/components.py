@@ -71,9 +71,17 @@ class SolveSettingsComponent:
 class ModalModel:
     """A solved (or loaded) modal model bound to the object; `path` is the
     content-addressed artifact so replay is deterministic
-    (reference: ApplyModalModel + ModalModelFile, src/audio/ModalModelFile.cpp:26-48)."""
+    (reference: ApplyModalModel + ModalModelFile, src/audio/ModalModelFile.cpp:26-48).
+    The solve fingerprint rides along so a reloaded scene can tell whether the model
+    still answers the current inputs without re-solving (ModalModelStale,
+    AudioSystem.cpp:1080-1090)."""
 
     path: str = ""
+    inputs_hash: str = ""
+    num_modes: int = 0
+    min_mode_freq: float = 0.0
+    max_mode_freq: float = 0.0
+    poisson_ratio: float = 0.0
 
 
 @dataclass
