@@ -8,6 +8,12 @@ extras blocks carrying this framework's physical-audio data:
 - `MESHEDITOR_TPU_acoustic`: acoustic material (rho, E, nu, alpha, beta) + solve settings
 - `MESHEDITOR_TPU_modal`: a bound modal model artifact path (content-addressed)
 
+plus the reference's interchange extension `KHR_audio_rigid_bodies`
+(GltfScene.cpp:2415-2555 import, :4462-4552 export): document-level acoustic materials
+and modal models (frequencies / decayRates = ln1000/T60 / positions / MODE-MAJOR shape
+vectors / mass properties, all as accessors), attached per node with a gain. Solved
+models therefore travel inside the .glb itself — no sidecar artifact needed.
+
 Import -> a scene Registry; export <- a Registry. Lossless roundtrip for everything this
 slice covers (tested component-by-component, the reference's RoundtripTest discipline).
 GLB (binary container) and .gltf+.bin layouts both supported.
@@ -25,6 +31,7 @@ import numpy as np
 from ..scene.components import (
     AcousticMaterialRef,
     MeshSurface,
+    ModalGainComponent,
     ModalModel,
     Name,
     SceneNode,
@@ -80,6 +87,40 @@ def _accessor(gltf, buffers, arr, target=None):
     return len(gltf["accessors"]) - 1
 
 
+_LN1000 = float(np.log(1000.0))
+
+
+def _export_modal_model(gltf, buffers, modes, mass, material_index, name):
+    """One KHR_audio_rigid_bodies modalModels entry (reference wire format,
+    GltfScene.cpp:4506-4552): decayRates d = ln1000/T60 (0 = undamped sentinel);
+    shapes mode-major (element m*P + i is mode m at sample point i)."""
+    t60s = np.asarray(modes.t60s, np.float64)
+    decay = np.where(t60s > 0, _LN1000 / np.maximum(t60s, 1e-300), 0.0).astype(np.float32)
+    shapes_km = np.ascontiguousarray(
+        np.asarray(modes.shapes, np.float32).transpose(1, 0, 2)
+    ).reshape(-1, 3)  # (K*P, 3) mode-major
+    entry = {
+        "frequencies": _accessor(gltf, buffers, np.asarray(modes.freqs, np.float32)),
+        "decayRates": _accessor(gltf, buffers, decay),
+        "positions": _accessor(gltf, buffers, np.asarray(modes.positions, np.float32)),
+        "shapes": _accessor(gltf, buffers, shapes_km),
+        "name": name,
+    }
+    if modes.indices.size:
+        entry["indices"] = _accessor(gltf, buffers, np.asarray(modes.indices, np.uint32))
+    if material_index is not None:
+        entry["material"] = material_index
+    if mass is not None and mass.mass > 0:
+        w, x, y, z = (float(v) for v in mass.inertia_orientation)
+        entry["massProperties"] = {
+            "mass": float(mass.mass),
+            "centerOfMass": [float(v) for v in mass.center_of_mass],
+            "inertiaDiagonal": [float(v) for v in mass.inertia_diagonal],
+            "inertiaOrientation": [x, y, z, w],  # glTF quaternion order xyzw
+        }
+    return entry
+
+
 def _compute_normals(positions, tris):
     n = np.zeros_like(positions)
     v = positions[tris]
@@ -106,6 +147,8 @@ def export_gltf(r: Registry, path) -> None:
     }
     buffers = bytearray()
     node_index: dict[int, int] = {}
+    audio_ext = {"acousticMaterials": [], "modalModels": []}
+    audio_material_index: dict[tuple, int] = {}
     entities = sorted(e for e in r.entities() if r.valid(e))
     for e in entities:
         node: dict = {}
@@ -159,6 +202,34 @@ def export_gltf(r: Registry, path) -> None:
             extras["MESHEDITOR_TPU_modal"] = {"path": mm.path}
         if extras:
             node["extras"] = extras
+
+        # KHR_audio_rigid_bodies: embed the solved model itself when its artifact is
+        # readable, referencing a deduped document-level acoustic material.
+        mat_idx = None
+        if mat is not None:
+            key = (mat.name, mat.density, mat.young_modulus, mat.poisson_ratio,
+                   mat.alpha, mat.beta)
+            if key not in audio_material_index:
+                audio_material_index[key] = len(audio_ext["acousticMaterials"])
+                audio_ext["acousticMaterials"].append({
+                    "name": mat.name, "density": mat.density,
+                    "youngsModulus": mat.young_modulus, "poissonRatio": mat.poisson_ratio,
+                    "alpha": mat.alpha, "beta": mat.beta,
+                })
+            mat_idx = audio_material_index[key]
+        if mm is not None and mm.path and Path(mm.path).exists():
+            from .model_store import load_modal_model
+
+            modes, mass = load_modal_model(mm.path)
+            if modes.num_modes:
+                gain = r.get(e, ModalGainComponent)
+                node.setdefault("extensions", {})["KHR_audio_rigid_bodies"] = {
+                    "modalModel": len(audio_ext["modalModels"]),
+                    "gain": float(gain.value) if gain else 1.0,
+                }
+                audio_ext["modalModels"].append(_export_modal_model(
+                    gltf, buffers, modes, mass, mat_idx, node.get("name", "")
+                ))
         node_index[e] = len(gltf["nodes"])
         gltf["nodes"].append(node)
     # Hierarchy.
@@ -169,6 +240,10 @@ def export_gltf(r: Registry, path) -> None:
             gltf["nodes"][node_index[parent]].setdefault("children", []).append(node_index[e])
         else:
             gltf["scenes"][0]["nodes"].append(node_index[e])
+
+    if audio_ext["modalModels"] or audio_ext["acousticMaterials"]:
+        gltf["extensions"] = {"KHR_audio_rigid_bodies": audio_ext}
+        gltf["extensionsUsed"] = ["KHR_audio_rigid_bodies"]
 
     blob = bytes(buffers)
     if path.suffix == ".glb":
@@ -216,8 +291,92 @@ def _read_accessor(gltf, buffers, idx):
     return arr.reshape(acc["count"], width) if width > 1 else arr
 
 
-def import_gltf(path) -> Registry:
-    """Load a .gltf/.glb into a fresh scene Registry."""
+def _import_audio_ext(gltf, buffers):
+    """Parse the document-level KHR_audio_rigid_bodies extension with the reference's
+    validation (GltfScene.cpp:2415-2508): invalid material fields fall back to the
+    engine default with a warning; a model with mismatched accessors, a non-positive
+    frequency, a negative decay rate, or any non-finite value reads back as None (the
+    list stays index-aligned with the document)."""
+    import sys
+
+    from ..types import ModalModes
+
+    ext = (gltf.get("extensions") or {}).get("KHR_audio_rigid_bodies")
+    if not ext:
+        return [], []
+
+    # Engine default = the first preset (Ceramic), the reference's fallback.
+    defaults = {"density": 2700.0, "youngsModulus": 7.2e10, "poissonRatio": 0.19,
+                "alpha": 6.0, "beta": 1e-7}
+    checks = {"density": lambda v: v > 0, "youngsModulus": lambda v: v > 0,
+              "poissonRatio": lambda v: -1 < v < 0.5,
+              "alpha": lambda v: v >= 0, "beta": lambda v: v >= 0}
+    materials = []
+    for m in ext.get("acousticMaterials", []):
+        name = m.get("name", "")
+        vals = {}
+        for key, fb in defaults.items():
+            v = m.get(key, fb)
+            if not (np.isfinite(v) and checks[key](v)):
+                print(f"Warning: KHR_audio_rigid_bodies acoustic material {name!r} has "
+                      f"an invalid {key} ({v}); using {fb}.", file=sys.stderr)
+                v = fb
+            vals[key] = float(v)
+        materials.append(AcousticMaterialRef(
+            name=name, density=vals["density"], young_modulus=vals["youngsModulus"],
+            poisson_ratio=vals["poissonRatio"], alpha=vals["alpha"], beta=vals["beta"],
+        ))
+
+    def read_model(m):
+        try:
+            freqs = np.asarray(_read_accessor(gltf, buffers, m["frequencies"]),
+                               np.float64).reshape(-1)
+            decay = np.asarray(_read_accessor(gltf, buffers, m["decayRates"]),
+                               np.float64).reshape(-1)
+            positions = np.asarray(_read_accessor(gltf, buffers, m["positions"]),
+                                   np.float64).reshape(-1, 3)
+            shapes_km = np.asarray(_read_accessor(gltf, buffers, m["shapes"]),
+                                   np.float64).reshape(-1, 3)
+        except (KeyError, IndexError):
+            return None
+        k, p = freqs.size, positions.shape[0]
+        if k == 0 or p == 0 or decay.size != k or shapes_km.shape[0] != k * p:
+            return None
+        finite = all(np.isfinite(a).all() for a in (freqs, decay, positions, shapes_km))
+        if not finite or (freqs <= 0).any() or (decay < 0).any():
+            return None
+        t60s = np.where(decay > 0, _LN1000 / np.maximum(decay, 1e-300), 0.0)
+        shapes = shapes_km.reshape(k, p, 3).transpose(1, 0, 2)  # wire is mode-major
+        indices = np.zeros(0, np.uint32)
+        if "indices" in m:
+            tris = np.asarray(_read_accessor(gltf, buffers, m["indices"]),
+                              np.uint32).reshape(-1)
+            if tris.size % 3 == 0 and (tris < p).all():
+                indices = tris
+            else:
+                print(f"Warning: KHR_audio_rigid_bodies modal model "
+                      f"{m.get('name', '')!r} has sample surface indices outside its "
+                      f"sample points; ignoring them.", file=sys.stderr)
+        modes = ModalModes(freqs=freqs, t60s=t60s, shapes=shapes, positions=positions,
+                           indices=indices, original_fundamental_freq=float(freqs[0]))
+        return modes, m.get("material"), m.get("massProperties")
+
+    models = []
+    for m in ext.get("modalModels", []):
+        model = read_model(m)
+        if model is None:
+            print(f"Warning: KHR_audio_rigid_bodies modal model {m.get('name', '')!r} "
+                  f"has accessors that do not match, or a frequency at or below zero, "
+                  f"or a negative decay rate; ignoring it.", file=sys.stderr)
+        models.append(model)
+    return materials, models
+
+
+def import_gltf(path, store_dir=None) -> Registry:
+    """Load a .gltf/.glb into a fresh scene Registry. With `store_dir`, embedded
+    KHR_audio_rigid_bodies modal models are saved into the content-addressed store and
+    bound to their nodes with a current-inputs fingerprint, so SceneAudio.reconcile
+    plays them without re-solving."""
     path = Path(path)
     blob = None
     if path.suffix == ".glb":
@@ -239,6 +398,7 @@ def import_gltf(path) -> Registry:
     buffers = _read_buffer(gltf, path, blob)
 
     r = Registry()
+    audio_materials, audio_models = _import_audio_ext(gltf, buffers)
     node_entity: dict[int, int] = {}
     for ni, node in enumerate(gltf.get("nodes", [])):
         e = r.create()
@@ -280,6 +440,57 @@ def import_gltf(path) -> Registry:
         mm = extras.get("MESHEDITOR_TPU_modal")
         if mm:
             r.emplace(e, ModalModel(mm["path"]))
+
+        aext = (node.get("extensions") or {}).get("KHR_audio_rigid_bodies")
+        model = None
+        if aext is not None:
+            mi = aext.get("modalModel")
+            if mi is not None and 0 <= mi < len(audio_models):
+                model = audio_models[mi]
+        if model is not None:
+            modes, mat_i, massp = model
+            if not r.has(e, AcousticMaterialRef) and mat_i is not None \
+                    and 0 <= mat_i < len(audio_materials):
+                src = audio_materials[mat_i]
+                r.emplace(e, AcousticMaterialRef(
+                    src.name, src.density, src.young_modulus, src.poisson_ratio,
+                    src.alpha, src.beta))
+            if "gain" in aext:
+                r.emplace(e, ModalGainComponent(value=float(aext["gain"])))
+            if store_dir is not None:
+                from ..solve.orchestration import hash_solve_inputs
+                from ..types import MassProperties
+                from .model_store import save_modal_model
+
+                mass = MassProperties()
+                if massp:
+                    x, y, z, w = massp.get("inertiaOrientation", [0, 0, 0, 1])
+                    mass = MassProperties(
+                        mass=float(massp.get("mass", 0.0)),
+                        center_of_mass=np.asarray(massp.get("centerOfMass", [0, 0, 0]),
+                                                  np.float64),
+                        inertia_diagonal=np.asarray(
+                            massp.get("inertiaDiagonal", [0, 0, 0]), np.float64),
+                        inertia_orientation=np.asarray([w, x, y, z], np.float64),
+                    )
+                saved = save_modal_model(store_dir, modes, mass)
+                # Stamp the fingerprint SceneAudio.reconcile would compute for this
+                # node's current inputs, so the embedded model plays without a solve.
+                surf = r.get(e, MeshSurface)
+                s = r.get(e, SolveSettingsComponent) or SolveSettingsComponent()
+                mat = r.get(e, AcousticMaterialRef) or AcousticMaterialRef()
+                tr_ = r.get(e, Transform)
+                scale = np.asarray(tr_.scale, np.float64) if tr_ else np.ones(3)
+                ih = hash_solve_inputs(
+                    np.asarray(surf.positions, np.float64),
+                    np.asarray(surf.triangles, np.int64),
+                    np.zeros((0, 3)), scale, s.quality_tets, s.solve_resolution,
+                ) if surf is not None else ""
+                r.emplace(e, ModalModel(
+                    path=str(saved), inputs_hash=ih, num_modes=s.num_modes,
+                    min_mode_freq=s.min_mode_freq, max_mode_freq=s.max_mode_freq,
+                    poisson_ratio=mat.poisson_ratio,
+                ))
     for ni, node in enumerate(gltf.get("nodes", [])):
         for child in node.get("children", []):
             sn = r.get(node_entity[child], SceneNode)
