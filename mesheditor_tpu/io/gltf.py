@@ -34,6 +34,7 @@ from ..scene.components import (
     ModalGainComponent,
     ModalModel,
     Name,
+    RigidBodyComponent,
     SceneNode,
     SolveSettingsComponent,
     Transform,
@@ -149,6 +150,8 @@ def export_gltf(r: Registry, path) -> None:
     node_index: dict[int, int] = {}
     audio_ext = {"acousticMaterials": [], "modalModels": []}
     audio_material_index: dict[tuple, int] = {}
+    implicit_shapes: list = []
+    implicit_shape_index: dict[tuple, int] = {}
     entities = sorted(e for e in r.entities() if r.valid(e))
     for e in entities:
         node: dict = {}
@@ -230,6 +233,38 @@ def export_gltf(r: Registry, path) -> None:
                 audio_ext["modalModels"].append(_export_modal_model(
                     gltf, buffers, modes, mass, mat_idx, node.get("name", "")
                 ))
+        # KHR_physics_rigid_bodies + KHR_implicit_shapes: collider shape + motion
+        # (reference export shape, GltfScene.cpp:4150-4180).
+        rb = r.get(e, RigidBodyComponent)
+        if rb is not None:
+            if rb.shape_kind == "box":
+                size = [float(v) * 2 for v in rb.half_extents]  # wire carries full size
+                key = ("box", *size)
+                shape = {"type": "box", "box": {"size": size}}
+            elif rb.shape_kind == "plane":
+                key = ("plane", *[float(v) for v in rb.plane_normal], float(rb.plane_offset))
+                shape = {"type": "plane",
+                         "plane": {"normal": [float(v) for v in rb.plane_normal],
+                                   "offset": float(rb.plane_offset)}}
+            else:
+                key = ("sphere", float(rb.radius))
+                shape = {"type": "sphere", "sphere": {"radius": float(rb.radius)}}
+            if key not in implicit_shape_index:
+                implicit_shape_index[key] = len(implicit_shapes)
+                implicit_shapes.append(shape)
+            body: dict = {"collider": {"geometry": {"shape": implicit_shape_index[key]}}}
+            if rb.is_dynamic or rb.is_kinematic:
+                motion = {"isKinematic": bool(rb.is_kinematic)}
+                if rb.mass > 0:
+                    motion["mass"] = float(rb.mass)
+                if rb.gravity_factor != 1.0:
+                    motion["gravityFactor"] = float(rb.gravity_factor)
+                if np.any(np.asarray(rb.linear_velocity) != 0):
+                    motion["linearVelocity"] = [float(v) for v in rb.linear_velocity]
+                if np.any(np.asarray(rb.angular_velocity) != 0):
+                    motion["angularVelocity"] = [float(v) for v in rb.angular_velocity]
+                body["motion"] = motion
+            node.setdefault("extensions", {})["KHR_physics_rigid_bodies"] = body
         node_index[e] = len(gltf["nodes"])
         gltf["nodes"].append(node)
     # Hierarchy.
@@ -241,9 +276,17 @@ def export_gltf(r: Registry, path) -> None:
         else:
             gltf["scenes"][0]["nodes"].append(node_index[e])
 
+    doc_ext = {}
+    used = []
     if audio_ext["modalModels"] or audio_ext["acousticMaterials"]:
-        gltf["extensions"] = {"KHR_audio_rigid_bodies": audio_ext}
-        gltf["extensionsUsed"] = ["KHR_audio_rigid_bodies"]
+        doc_ext["KHR_audio_rigid_bodies"] = audio_ext
+        used.append("KHR_audio_rigid_bodies")
+    if implicit_shapes:
+        doc_ext["KHR_implicit_shapes"] = {"shapes": implicit_shapes}
+        used.extend(["KHR_implicit_shapes", "KHR_physics_rigid_bodies"])
+    if doc_ext:
+        gltf["extensions"] = doc_ext
+        gltf["extensionsUsed"] = used
 
     blob = bytes(buffers)
     if path.suffix == ".glb":
@@ -399,6 +442,8 @@ def import_gltf(path, store_dir=None) -> Registry:
 
     r = Registry()
     audio_materials, audio_models = _import_audio_ext(gltf, buffers)
+    implicit_shapes = ((gltf.get("extensions") or {}).get("KHR_implicit_shapes") or {}) \
+        .get("shapes", [])
     node_entity: dict[int, int] = {}
     for ni, node in enumerate(gltf.get("nodes", [])):
         e = r.create()
@@ -440,6 +485,38 @@ def import_gltf(path, store_dir=None) -> Registry:
         mm = extras.get("MESHEDITOR_TPU_modal")
         if mm:
             r.emplace(e, ModalModel(mm["path"]))
+
+        pext = (node.get("extensions") or {}).get("KHR_physics_rigid_bodies")
+        if pext is not None:
+            rb = RigidBodyComponent()
+            geom = (pext.get("collider") or {}).get("geometry") or {}
+            si = geom.get("shape")
+            if si is not None and 0 <= si < len(implicit_shapes):
+                s = implicit_shapes[si]
+                kind = s.get("type", "sphere")
+                if kind == "box":
+                    size = s.get("box", {}).get("size", [1.0, 1.0, 1.0])
+                    rb.shape_kind = "box"
+                    rb.half_extents = np.asarray(size, np.float64) / 2.0
+                elif kind == "plane":
+                    p = s.get("plane", {})
+                    rb.shape_kind = "plane"
+                    rb.plane_normal = np.asarray(p.get("normal", [0, 1, 0]), np.float64)
+                    rb.plane_offset = float(p.get("offset", 0.0))
+                else:
+                    rb.shape_kind = "sphere"
+                    rb.radius = float(s.get("sphere", {}).get("radius", 0.5))
+            motion = pext.get("motion")
+            if motion is not None:
+                rb.is_dynamic = not motion.get("isKinematic", False)
+                rb.is_kinematic = bool(motion.get("isKinematic", False))
+                rb.mass = float(motion.get("mass", 0.0))
+                rb.gravity_factor = float(motion.get("gravityFactor", 1.0))
+                rb.linear_velocity = np.asarray(motion.get("linearVelocity", [0, 0, 0]),
+                                                np.float64)
+                rb.angular_velocity = np.asarray(motion.get("angularVelocity", [0, 0, 0]),
+                                                 np.float64)
+            r.emplace(e, rb)
 
         aext = (node.get("extensions") or {}).get("KHR_audio_rigid_bodies")
         model = None

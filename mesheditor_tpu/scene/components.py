@@ -103,6 +103,26 @@ class SoundVertices:
 
 
 @dataclass
+class RigidBodyComponent:
+    """KHR_physics_rigid_bodies node payload: an implicit collider shape plus motion
+    (reference: PhysicsRigidBody import, GltfScene.cpp:1743-1775). Flat so snapshots
+    and the glTF roundtrip stay field-for-field. A body with no motion (is_dynamic
+    False) is static; mass <= 0 derives from shape volume."""
+
+    shape_kind: str = "sphere"  # sphere | box | plane
+    radius: float = 0.5
+    half_extents: np.ndarray = field(default_factory=lambda: np.full(3, 0.5))
+    plane_normal: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0, 0.0]))
+    plane_offset: float = 0.0
+    is_dynamic: bool = False
+    is_kinematic: bool = False
+    mass: float = 0.0
+    gravity_factor: float = 1.0
+    linear_velocity: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    angular_velocity: np.ndarray = field(default_factory=lambda: np.zeros(3))
+
+
+@dataclass
 class ExciteState:
     """Derived: live synth bookkeeping (bank slot etc.); rebuilt, never snapshotted."""
 
@@ -120,5 +140,6 @@ PERSISTENT_COMPONENTS = (
     ModalGainComponent,
     ModalTuningComponent,
     SoundVertices,
+    RigidBodyComponent,
 )
 DERIVED_COMPONENTS = (WorldTransform, ExciteState)
