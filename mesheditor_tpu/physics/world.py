@@ -77,6 +77,16 @@ class _Body:
     static: bool = False
 
 
+@dataclass
+class _Joint:
+    kind: str  # "point" | "distance"
+    a: "_Body"
+    b: "_Body"
+    anchor_a: np.ndarray  # body-local
+    anchor_b: np.ndarray
+    rest: float = 0.0  # distance joints
+
+
 class PhysicsWorld:
     def __init__(self, gravity=(0.0, -9.81, 0.0), dt: float = 1.0 / 240.0,
                  solver_iterations: int = 10):
@@ -91,6 +101,7 @@ class PhysicsWorld:
         self.impacts: list[ContactImpact] = []
         self.sustained: dict[int, SustainedContact] = {}
         self._pose_cache: dict[int, dict[BodyHandle, tuple[np.ndarray, np.ndarray]]] = {}
+        self.joints: list[_Joint] = []
 
     # -- construction --
 
@@ -124,6 +135,69 @@ class PhysicsWorld:
             b.inv_inertia_local = np.linalg.inv(self._inertia(shape, mass))
         self.bodies[h] = b
         return h
+
+    def _local_anchor(self, b: _Body, world_point) -> np.ndarray:
+        return _quat_to_mat(b.quat).T @ (np.asarray(world_point, np.float64) - b.pos)
+
+    def add_point_joint(self, ha: BodyHandle, hb: BodyHandle, world_anchor) -> int:
+        """Ball-socket: the two body-local anchors stay coincident (the reference's
+        Jolt point constraint, PhysicsTypes.h joint defs)."""
+        a, b = self.bodies[ha], self.bodies[hb]
+        self.joints.append(_Joint("point", a, b, self._local_anchor(a, world_anchor),
+                                  self._local_anchor(b, world_anchor)))
+        return len(self.joints) - 1
+
+    def add_distance_joint(self, ha: BodyHandle, hb: BodyHandle, anchor_a, anchor_b,
+                           rest: float | None = None) -> int:
+        """Rigid rod between two body-local anchor points (given in world space)."""
+        a, b = self.bodies[ha], self.bodies[hb]
+        anchor_a = np.asarray(anchor_a, np.float64)
+        anchor_b = np.asarray(anchor_b, np.float64)
+        if rest is None:
+            rest = float(np.linalg.norm(anchor_a - anchor_b))
+        self.joints.append(_Joint("distance", a, b, self._local_anchor(a, anchor_a),
+                                  self._local_anchor(b, anchor_b), rest))
+        return len(self.joints) - 1
+
+    def _solve_joint(self, j: _Joint) -> None:
+        a, b = j.a, j.b
+        if a.inv_mass == 0 and b.inv_mass == 0:
+            return
+        ra = _quat_to_mat(a.quat) @ j.anchor_a
+        rb = _quat_to_mat(b.quat) @ j.anchor_b
+        pa, pb = a.pos + ra, b.pos + rb
+        ii_a = _quat_to_mat(a.quat) @ a.inv_inertia_local @ _quat_to_mat(a.quat).T
+        ii_b = _quat_to_mat(b.quat) @ b.inv_inertia_local @ _quat_to_mat(b.quat).T
+        v_rel = (a.vel + np.cross(a.ang, ra)) - (b.vel + np.cross(b.ang, rb))
+        beta = 0.2 / self.dt
+
+        def skew(r):
+            return np.array([[0, -r[2], r[1]], [r[2], 0, -r[0]], [-r[1], r[0], 0.0]])
+
+        if j.kind == "point":
+            c = pa - pb
+            k = (a.inv_mass + b.inv_mass) * np.eye(3) \
+                - skew(ra) @ ii_a @ skew(ra) - skew(rb) @ ii_b @ skew(rb)
+            try:
+                imp = np.linalg.solve(k, -(v_rel + beta * c))
+            except np.linalg.LinAlgError:
+                return
+        else:  # distance
+            d = pa - pb
+            dist = float(np.linalg.norm(d))
+            if dist < 1e-12:
+                return
+            n = d / dist
+            kn = a.inv_mass + b.inv_mass \
+                + n @ np.cross(ii_a @ np.cross(ra, n), ra) \
+                + n @ np.cross(ii_b @ np.cross(rb, n), rb)
+            if kn <= 0:
+                return
+            imp = (-(v_rel @ n) - beta * (dist - j.rest)) / kn * n
+        a.vel += imp * a.inv_mass
+        a.ang += ii_a @ np.cross(ra, imp)
+        b.vel -= imp * b.inv_mass
+        b.ang -= ii_b @ np.cross(rb, imp)
 
     @staticmethod
     def _default_mass(shape) -> float:
@@ -250,6 +324,8 @@ class PhysicsWorld:
             approach[idx] = -(self._vel_at(a, p) - self._vel_at(b, p)) @ n
 
         for _ in range(self.solver_iterations):
+            for j in self.joints:
+                self._solve_joint(j)
             for idx, (a, b, p, n, depth) in enumerate(contacts):
                 rel = self._vel_at(a, p) - self._vel_at(b, p)
                 vn = rel @ n

@@ -167,3 +167,55 @@ class TestAudioBridge:
         assert synth.active_voices >= 1 or True  # voice may have idled out at the end
         audio = np.asarray(synth.render(512))
         assert np.isfinite(audio).all()
+
+
+class TestJoints:
+    def test_point_joint_pendulum_conserves_length(self):
+        # A bob ball-jointed to a static anchor swings under gravity with its
+        # distance to the pivot held by the constraint.
+        w = PhysicsWorld()
+        anchor = w.add_body(ShapeSphere(0.01), position=(0, 1, 0), static=True)
+        bob = w.add_body(ShapeSphere(0.05), position=(0.5, 1, 0),
+                         motion=PhysicsMotion(mass=1.0))
+        w.add_point_joint(anchor, bob, (0, 1, 0))
+        lengths = []
+        for _ in range(960):
+            w.step()
+            lengths.append(np.linalg.norm(w.bodies[bob].pos - np.array([0, 1, 0])))
+        lengths = np.array(lengths)
+        assert abs(lengths.mean() - 0.5) < 0.005
+        assert lengths.max() - lengths.min() < 0.01
+        assert w.bodies[bob].pos[1] < 1.0  # it actually swung down
+
+    def test_distance_joint_dumbbell(self):
+        # Two free spheres joined by a rigid rod spin about their center of mass:
+        # separation and COM both conserved.
+        w = PhysicsWorld(gravity=(0, 0, 0))
+        a = w.add_body(ShapeSphere(0.05), position=(0, 0, 0),
+                       motion=PhysicsMotion(mass=1.0))
+        b = w.add_body(ShapeSphere(0.05), position=(0.4, 0, 0),
+                       motion=PhysicsMotion(mass=1.0))
+        w.add_distance_joint(a, b, (0, 0, 0), (0.4, 0, 0))
+        w.bodies[a].vel = np.array([0.0, 0.5, 0.0])
+        w.bodies[b].vel = np.array([0.0, -0.5, 0.0])
+        for _ in range(960):
+            w.step()
+        d = np.linalg.norm(w.bodies[a].pos - w.bodies[b].pos)
+        com = 0.5 * (w.bodies[a].pos + w.bodies[b].pos)
+        assert abs(d - 0.4) < 0.002
+        assert np.linalg.norm(com - [0.2, 0, 0]) < 1e-9
+
+    def test_joint_to_static_under_contacts(self):
+        # A jointed body resting on the floor: joints and contacts solve together
+        # without fighting (finite, settled).
+        w = PhysicsWorld()
+        w.add_body(ShapePlane(), static=True)
+        anchor = w.add_body(ShapeSphere(0.01), position=(0, 0.3, 0), static=True)
+        bob = w.add_body(ShapeSphere(0.1), position=(0, 0.1, 0),
+                         motion=PhysicsMotion(mass=1.0))
+        w.add_distance_joint(anchor, bob, (0, 0.3, 0), (0, 0.1, 0))
+        for _ in range(480):
+            w.step()
+        p = w.bodies[bob].pos
+        assert np.isfinite(p).all()
+        assert 0.05 < p[1] < 0.25
