@@ -152,6 +152,7 @@ def export_gltf(r: Registry, path) -> None:
     audio_material_index: dict[tuple, int] = {}
     implicit_shapes: list = []
     implicit_shape_index: dict[tuple, int] = {}
+    physics_used = [False]
     entities = sorted(e for e in r.entities() if r.valid(e))
     for e in entities:
         node: dict = {}
@@ -237,7 +238,12 @@ def export_gltf(r: Registry, path) -> None:
         # (reference export shape, GltfScene.cpp:4150-4180).
         rb = r.get(e, RigidBodyComponent)
         if rb is not None:
-            if rb.shape_kind == "box":
+            if rb.shape_kind == "mesh":
+                # Mesh geometry references the node itself (the spec's node-geometry
+                # collider; reference maps it to a TriangleMesh, GltfScene.cpp:1680-1683).
+                key = None
+                shape = None
+            elif rb.shape_kind == "box":
                 size = [float(v) * 2 for v in rb.half_extents]  # wire carries full size
                 key = ("box", *size)
                 shape = {"type": "box", "box": {"size": size}}
@@ -249,10 +255,15 @@ def export_gltf(r: Registry, path) -> None:
             else:
                 key = ("sphere", float(rb.radius))
                 shape = {"type": "sphere", "sphere": {"radius": float(rb.radius)}}
-            if key not in implicit_shape_index:
-                implicit_shape_index[key] = len(implicit_shapes)
-                implicit_shapes.append(shape)
-            body: dict = {"collider": {"geometry": {"shape": implicit_shape_index[key]}}}
+            if shape is None:
+                geometry = {"node": len(gltf["nodes"])}  # this node's own mesh
+            else:
+                if key not in implicit_shape_index:
+                    implicit_shape_index[key] = len(implicit_shapes)
+                    implicit_shapes.append(shape)
+                geometry = {"shape": implicit_shape_index[key]}
+            physics_used[0] = True
+            body: dict = {"collider": {"geometry": geometry}}
             if rb.is_dynamic or rb.is_kinematic:
                 motion = {"isKinematic": bool(rb.is_kinematic)}
                 if rb.mass > 0:
@@ -283,7 +294,9 @@ def export_gltf(r: Registry, path) -> None:
         used.append("KHR_audio_rigid_bodies")
     if implicit_shapes:
         doc_ext["KHR_implicit_shapes"] = {"shapes": implicit_shapes}
-        used.extend(["KHR_implicit_shapes", "KHR_physics_rigid_bodies"])
+        used.append("KHR_implicit_shapes")
+    if physics_used[0]:
+        used.append("KHR_physics_rigid_bodies")
     if doc_ext:
         gltf["extensions"] = doc_ext
         gltf["extensionsUsed"] = used
@@ -491,7 +504,9 @@ def import_gltf(path, store_dir=None) -> Registry:
             rb = RigidBodyComponent()
             geom = (pext.get("collider") or {}).get("geometry") or {}
             si = geom.get("shape")
-            if si is not None and 0 <= si < len(implicit_shapes):
+            if "node" in geom:
+                rb.shape_kind = "mesh"  # node-geometry collider: the node's own mesh
+            elif si is not None and 0 <= si < len(implicit_shapes):
                 s = implicit_shapes[si]
                 kind = s.get("type", "sphere")
                 if kind == "box":

@@ -5,6 +5,7 @@ from .types import (
     PhysicsMaterial,
     PhysicsMotion,
     ShapeBox,
+    ShapeMesh,
     ShapePlane,
     ShapeSphere,
     SustainedContact,
@@ -19,6 +20,7 @@ __all__ = [
     "PhysicsMaterial",
     "PhysicsMotion",
     "ShapeBox",
+    "ShapeMesh",
     "ShapePlane",
     "ShapeSphere",
     "SustainedContact",

@@ -9,19 +9,22 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..scene.components import RigidBodyComponent, Transform
+from ..scene.components import MeshSurface, RigidBodyComponent, Transform
 from ..scene.registry import Registry
-from .types import PhysicsMotion, ShapeBox, ShapePlane, ShapeSphere
+from .types import PhysicsMotion, ShapeBox, ShapeMesh, ShapePlane, ShapeSphere
 from .world import PhysicsWorld
 
 
-def _shape_of(rb: RigidBodyComponent):
+def _shape_of(rb: RigidBodyComponent, surface: MeshSurface | None):
     if rb.shape_kind == "box":
         return ShapeBox(half_extents=tuple(float(v) for v in rb.half_extents))
     if rb.shape_kind == "plane":
         n = np.asarray(rb.plane_normal, np.float64)
         n = n / max(np.linalg.norm(n), 1e-30)
         return ShapePlane(normal=tuple(float(v) for v in n), offset=float(rb.plane_offset))
+    if rb.shape_kind == "mesh" and surface is not None and surface.positions.shape[0]:
+        return ShapeMesh(positions=np.asarray(surface.positions, np.float64),
+                         triangles=np.asarray(surface.triangles, np.int64))
     return ShapeSphere(radius=float(rb.radius))
 
 
@@ -40,7 +43,8 @@ def build_world(registry: Registry, gravity=(0.0, -9.81, 0.0), dt: float = 1.0 /
             gravity_factor=float(rb.gravity_factor),
         ) if rb.is_dynamic or rb.is_kinematic else None
         h = world.add_body(
-            _shape_of(rb), position=pos, quat=quat, motion=motion,
+            _shape_of(rb, registry.get(e, MeshSurface)), position=pos, quat=quat,
+            motion=motion,
             report_contacts=report_contacts,
             static=not (rb.is_dynamic or rb.is_kinematic),
         )

@@ -66,6 +66,28 @@ class ShapePlane:
     offset: float = 0.0
 
 
+@dataclass(eq=False)
+class ShapeMesh:
+    """Static triangle-mesh scenery (reference: Jolt MeshShape for static geometry).
+    Collision queries run against a lazily built BVH (mesh/bvh.py closest-point);
+    only static bodies may carry it — dynamic mesh-vs-mesh is out of scope."""
+
+    positions: object  # (n, 3) float array, shape-local
+    triangles: object  # (t, 3) int array
+
+    def bvh(self):
+        if getattr(self, "_bvh", None) is None:
+            import numpy as np
+
+            from ..mesh.bvh import build_bvh
+
+            self._bvh = build_bvh(
+                np.asarray(self.positions, np.float64),
+                np.asarray(self.triangles, np.int64),
+            )
+        return self._bvh
+
+
 @dataclass
 class PhysicsMotion:
     """Motion properties (reference: PhysicsTypes.h:135-145)."""

@@ -23,6 +23,7 @@ from .types import (
     PhysicsMaterial,
     PhysicsMotion,
     ShapeBox,
+    ShapeMesh,
     ShapePlane,
     ShapeSphere,
     SustainedContact,
@@ -124,7 +125,7 @@ class PhysicsWorld:
             report_contacts=report_contacts,
             pos=np.asarray(position, dtype=np.float64),
             quat=np.asarray(quat, dtype=np.float64),
-            static=static or isinstance(shape, ShapePlane),
+            static=static or isinstance(shape, (ShapePlane, ShapeMesh)),
         )
         if b.static or motion.is_kinematic:
             b.inv_mass = 0.0
@@ -283,7 +284,63 @@ class PhysicsWorld:
             return self._sphere_box(a, b)
         if isinstance(sa, ShapeBox) and isinstance(sb, ShapeSphere):
             return self._sphere_box(b, a)
-        return []  # box-box not supported yet (documented gap)
+        if isinstance(sb, ShapeMesh) and not isinstance(sa, ShapeMesh):
+            return self._against_mesh(a, b)
+        if isinstance(sa, ShapeMesh) and not isinstance(sb, ShapeMesh):
+            return self._against_mesh(b, a)
+        return []  # box-box and mesh-mesh not supported yet (documented gap)
+
+    def _against_mesh(self, body: _Body, mesh: _Body):
+        """Sphere- or box-vs-static-mesh via BVH closest-point queries (the mesh is
+        scenery, so its BVH is built once in shape-local space). Inside/outside is
+        decided by the closest triangle's facing — the mesh must be consistently
+        outward-wound, which every surface this framework produces is."""
+        from ..mesh.bvh import closest_point
+
+        shape = mesh.shape
+        bvh = shape.bvh()
+        rm = _quat_to_mat(mesh.quat)
+        pts = np.asarray(shape.positions, np.float64)
+        tris = np.asarray(shape.triangles, np.int64)
+
+        def query(world_p, radius):
+            local = rm.T @ (world_p - mesh.pos)
+            q, tri, dist = closest_point(bvh, local)
+            t = pts[tris[tri]]
+            tri_n = np.cross(t[1] - t[0], t[2] - t[0])
+            nn = np.linalg.norm(tri_n)
+            if nn < 1e-30:
+                return None
+            tri_n /= nn
+            to_p = local - q
+            outside = to_p @ tri_n >= 0
+            if dist > 1e-12:
+                n_local = to_p / dist if outside else -to_p / dist
+            else:
+                n_local = tri_n
+            depth = radius - dist if outside else radius + dist
+            if depth <= 0:
+                return None
+            n = rm @ n_local
+            p = mesh.pos + rm @ q
+            return p, n, depth
+
+        out = []
+        if isinstance(body.shape, ShapeSphere):
+            hit = query(body.pos, body.shape.radius)
+            if hit is not None:
+                out.append((body, mesh, hit[0], hit[1], hit[2]))
+        elif isinstance(body.shape, ShapeBox):
+            rb = _quat_to_mat(body.quat)
+            he = np.asarray(body.shape.half_extents)
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    for sz in (-1, 1):
+                        corner = body.pos + rb @ (he * np.array([sx, sy, sz]))
+                        hit = query(corner, 0.0)
+                        if hit is not None:
+                            out.append((body, mesh, hit[0], hit[1], hit[2]))
+        return out
 
     def _sphere_box(self, s: _Body, box: _Body):
         r = _quat_to_mat(box.quat)

@@ -74,3 +74,33 @@ class TestPhysicsExtension:
         assert ball_t.translation[0] > 0.1
         crate_t = r2.get(by_name["crate"], Transform)
         assert 0.1 < crate_t.translation[1] < 0.35  # settled near half-extent height
+
+    def test_mesh_collider_roundtrip_and_simulation(self, tmp_path):
+        from mesheditor_tpu.mesh import grid_box_surface
+        from mesheditor_tpu.scene.components import MeshSurface
+
+        reg = Registry()
+        slab = reg.create()
+        reg.emplace(slab, Name("slab"))
+        pts, tris = grid_box_surface(3)
+        pts = pts * np.array([2.0, 0.2, 2.0])
+        reg.emplace(slab, MeshSurface(positions=pts, triangles=tris))
+        reg.emplace(slab, RigidBodyComponent(shape_kind="mesh"))
+        ball = reg.create()
+        reg.emplace(ball, Name("ball"))
+        reg.emplace(ball, Transform(translation=np.array([0.7, 1.0, 0.7])))
+        reg.emplace(ball, RigidBodyComponent(shape_kind="sphere", radius=0.05,
+                                             is_dynamic=True, mass=0.5))
+        path = tmp_path / "terrain.glb"
+        export_gltf(reg, path)
+        r2 = import_gltf(path)
+        by_name = {r2.get(e, Name).value: (e, rb) for e, rb in r2.view(RigidBodyComponent)}
+        assert by_name["slab"][1].shape_kind == "mesh"
+
+        world, handles = build_world(r2)
+        for _ in range(480):
+            world.step()
+        p = world.bodies[handles[by_name["ball"][0]]].pos
+        # The slab spans [0,1]^3 scaled: its top sits at y=0.2; the ball rests a
+        # radius above it.
+        assert abs(p[1] - 0.25) < 0.02, p
