@@ -42,8 +42,19 @@ def build_world(registry: Registry, gravity=(0.0, -9.81, 0.0), dt: float = 1.0 /
             mass=float(rb.mass),
             gravity_factor=float(rb.gravity_factor),
         ) if rb.is_dynamic or rb.is_kinematic else None
+        shape = _shape_of(rb, registry.get(e, MeshSurface))
+        if isinstance(shape, ShapeMesh) and motion is not None:
+            # The solver treats a body's position as its COM: center dynamic solids on
+            # their volume centroid and shift the body pose to compensate.
+            from .mass_props import mesh_mass_properties
+            from .world import _quat_to_mat
+
+            _, com, _ = mesh_mass_properties(shape.positions, shape.triangles)
+            shape = ShapeMesh(positions=np.asarray(shape.positions) - com,
+                              triangles=shape.triangles)
+            pos = np.asarray(pos, np.float64) + _quat_to_mat(np.asarray(quat)) @ com
         h = world.add_body(
-            _shape_of(rb, registry.get(e, MeshSurface)), position=pos, quat=quat,
+            shape, position=pos, quat=quat,
             motion=motion,
             report_contacts=report_contacts,
             static=not (rb.is_dynamic or rb.is_kinematic),

@@ -119,13 +119,19 @@ class PhysicsWorld:
     ) -> BodyHandle:
         h = self._next
         self._next += 1
+        # A mesh shape with no motion is static scenery; with motion it is a dynamic
+        # solid (its positions must be centered on the volume centroid — scene_build
+        # does this; mass/inertia come from the closed-mesh integrals).
+        implicit_static = isinstance(shape, ShapePlane) or (
+            isinstance(shape, ShapeMesh) and motion is None
+        )
         motion = motion or PhysicsMotion()
         b = _Body(
             handle=h, shape=shape, motion=motion, material=material, filter=filter,
             report_contacts=report_contacts,
             pos=np.asarray(position, dtype=np.float64),
             quat=np.asarray(quat, dtype=np.float64),
-            static=static or isinstance(shape, (ShapePlane, ShapeMesh)),
+            static=static or implicit_static,
         )
         if b.static or motion.is_kinematic:
             b.inv_mass = 0.0
@@ -207,6 +213,10 @@ class PhysicsWorld:
         if isinstance(shape, ShapeBox):
             hx, hy, hz = shape.half_extents
             return 1000.0 * 8 * hx * hy * hz
+        if isinstance(shape, ShapeMesh):
+            from .mass_props import mesh_mass_properties
+
+            return mesh_mass_properties(shape.positions, shape.triangles, 1000.0)[0]
         return 1.0
 
     @staticmethod
@@ -223,6 +233,11 @@ class PhysicsWorld:
                     mass / 3 * (hx**2 + hy**2),
                 ]
             )
+        if isinstance(shape, ShapeMesh):
+            from .mass_props import mesh_mass_properties
+
+            m0, _, j0 = mesh_mass_properties(shape.positions, shape.triangles, 1000.0)
+            return j0 * (mass / m0)
         return np.eye(3) * mass
 
     # -- collision detection (primitive pairs) --
@@ -271,6 +286,16 @@ class PhysicsWorld:
                             if dist < 0:
                                 contacts.append((a, b, corner, n, -dist))
                 return contacts
+            if isinstance(sa, ShapeMesh):
+                # Dynamic solid vs floor: penetrating vertices, deepest 8 (a bounded
+                # manifold keeps the solver cost independent of tessellation).
+                r = _quat_to_mat(a.quat)
+                world = a.pos + np.asarray(sa.positions, np.float64) @ r.T
+                dist = world @ n - sb.offset
+                below = np.flatnonzero(dist < 0)
+                if below.size > 8:
+                    below = below[np.argsort(dist[below])[:8]]
+                return [(a, b, world[i], n, -dist[i]) for i in below]
         if isinstance(sa, ShapeSphere) and isinstance(sb, ShapeSphere):
             d = a.pos - b.pos
             dist = np.linalg.norm(d)

@@ -219,3 +219,47 @@ class TestJoints:
         p = w.bodies[bob].pos
         assert np.isfinite(p).all()
         assert 0.05 < p[1] < 0.25
+
+
+class TestMeshBodies:
+    def test_mesh_mass_properties_box_exact(self):
+        from mesheditor_tpu.mesh import cuboid_surface
+        from mesheditor_tpu.physics.mass_props import mesh_mass_properties
+
+        pts, tris = cuboid_surface((0.1, 0.2, 0.3))
+        m, com, J = mesh_mass_properties(pts, tris, 1000.0)
+        assert abs(m - 48.0) < 1e-9
+        assert np.abs(com).max() < 1e-12
+        expect = 48.0 / 3 * np.array([0.2**2 + 0.3**2, 0.1**2 + 0.3**2, 0.1**2 + 0.2**2])
+        np.testing.assert_allclose(np.diag(J), expect, rtol=1e-12)
+        assert np.abs(J - np.diag(np.diag(J))).max() < 1e-12
+
+    def test_dynamic_mesh_solid_settles_on_floor(self):
+        from mesheditor_tpu.mesh import cuboid_surface
+        from mesheditor_tpu.physics.types import ShapeMesh
+
+        pts, tris = cuboid_surface((0.05, 0.05, 0.05))
+        w = PhysicsWorld()
+        w.add_body(ShapePlane(), static=True)
+        body = w.add_body(ShapeMesh(positions=pts, triangles=tris), position=(0, 0.3, 0),
+                          motion=PhysicsMotion(mass=0.0))  # mass from enclosed volume
+        b = w.bodies[body]
+        assert abs(1.0 / b.inv_mass - 1.0) < 1e-6  # 1 L of water-density solid
+        for _ in range(960):
+            w.step()
+        assert abs(b.pos[1] - 0.05) < 0.005  # rests on a face
+        assert np.linalg.norm(b.vel) < 1e-3
+
+    def test_static_mesh_terrain_supports_sphere(self):
+        from mesheditor_tpu.mesh import grid_box_surface
+        from mesheditor_tpu.physics.types import ShapeMesh
+
+        pts, tris = grid_box_surface(3)
+        pts = pts * np.array([2.0, 0.2, 2.0])
+        w = PhysicsWorld()
+        w.add_body(ShapeMesh(positions=pts, triangles=tris), position=(0, 0, 0))
+        s = w.add_body(ShapeSphere(0.05), position=(0.5, 0.6, 0.5),
+                       motion=PhysicsMotion(mass=0.5))
+        for _ in range(720):
+            w.step()
+        assert abs(w.bodies[s].pos[1] - 0.25) < 0.01  # slab top 0.2 + radius
