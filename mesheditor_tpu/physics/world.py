@@ -313,7 +313,11 @@ class PhysicsWorld:
             return self._against_mesh(a, b)
         if isinstance(sa, ShapeMesh) and not isinstance(sb, ShapeMesh):
             return self._against_mesh(b, a)
-        return []  # box-box and mesh-mesh not supported yet (documented gap)
+        if isinstance(sa, ShapeMesh) and isinstance(sb, ShapeMesh):
+            # Vertex-probe both ways (each body's vertices against the other's BVH);
+            # symmetric so resting stacks don't depend on body order.
+            return self._against_mesh(a, b) + self._against_mesh(b, a)
+        return []  # box-box not supported yet (documented gap)
 
     def _against_mesh(self, body: _Body, mesh: _Body):
         """Sphere- or box-vs-static-mesh via BVH closest-point queries (the mesh is
@@ -365,6 +369,20 @@ class PhysicsWorld:
                         hit = query(corner, 0.0)
                         if hit is not None:
                             out.append((body, mesh, hit[0], hit[1], hit[2]))
+        elif isinstance(body.shape, ShapeMesh):
+            # Vertex probes, evenly subsampled to bound cost; deepest 8 kept.
+            verts = np.asarray(body.shape.positions, np.float64)
+            if verts.shape[0] > 128:
+                verts = verts[:: verts.shape[0] // 128 + 1]
+            rb = _quat_to_mat(body.quat)
+            world = body.pos + verts @ rb.T
+            hits = []
+            for wp in world:
+                hit = query(wp, 0.0)
+                if hit is not None:
+                    hits.append(hit)
+            hits.sort(key=lambda h: -h[2])
+            out.extend((body, mesh, h[0], h[1], h[2]) for h in hits[:8])
         return out
 
     def _sphere_box(self, s: _Body, box: _Body):

@@ -263,3 +263,20 @@ class TestMeshBodies:
         for _ in range(720):
             w.step()
         assert abs(w.bodies[s].pos[1] - 0.25) < 0.01  # slab top 0.2 + radius
+
+    def test_mesh_on_mesh_stack(self):
+        from mesheditor_tpu.mesh import cuboid_surface, icosphere_surface
+        from mesheditor_tpu.physics.types import ShapeMesh
+
+        w = PhysicsWorld()
+        w.add_body(ShapePlane(), static=True)
+        cpts, ctris = cuboid_surface((0.1, 0.05, 0.1))
+        crate = w.add_body(ShapeMesh(positions=cpts, triangles=ctris),
+                           position=(0, 0.05, 0), motion=PhysicsMotion(mass=2.0))
+        spts, stris = icosphere_surface(1)
+        ball = w.add_body(ShapeMesh(positions=spts * 0.04, triangles=stris),
+                          position=(0.01, 0.18, 0.0), motion=PhysicsMotion(mass=0.3))
+        for _ in range(360):
+            w.step()
+        assert abs(w.bodies[crate].pos[1] - 0.05) < 0.005
+        assert abs(w.bodies[ball].pos[1] - 0.14) < 0.01  # crate top + ball radius
