@@ -317,7 +317,69 @@ class PhysicsWorld:
             # Vertex-probe both ways (each body's vertices against the other's BVH);
             # symmetric so resting stacks don't depend on body order.
             return self._against_mesh(a, b) + self._against_mesh(b, a)
-        return []  # box-box not supported yet (documented gap)
+        if isinstance(sa, ShapeBox) and isinstance(sb, ShapeBox):
+            # Symmetric corner-in-OBB probes: exact for face-vertex manifolds (the
+            # resting/stacking cases the audio bus cares about); edge-edge crossings
+            # without a contained corner are not detected (documented approximation).
+            return self._box_box(a, b) + self._box_box(b, a)
+        return []
+
+    def _box_box(self, a: _Body, b: _Body):
+        """Face-clip manifold: a's face most opposed to the contact normal, clipped
+        against b's reference face rectangle (Sutherland-Hodgman in b-local tangent
+        coordinates). The face axis comes from the center-offset direction so
+        coincident-footprint stacks keep an up/down normal; clipping (rather than
+        corner containment) keeps the manifold symmetric, which resting towers need
+        to not torque themselves sideways. Edge-edge crossings with no face overlap
+        are not detected (documented approximation)."""
+        ra, rb = _quat_to_mat(a.quat), _quat_to_mat(b.quat)
+        hea = np.asarray(a.shape.half_extents)
+        heb = np.asarray(b.shape.half_extents)
+        rel = rb.T @ (a.pos - b.pos)
+        axis = int(np.argmax(np.abs(rel) / (heb + float(np.max(hea)))))
+        sign = 1.0 if rel[axis] >= 0 else -1.0
+        n_local = np.zeros(3)
+        n_local[axis] = sign
+        n = rb @ n_local
+
+        # a's incident face: the one whose outward normal (in a-local) is most
+        # anti-parallel to n.
+        n_in_a = ra.T @ n
+        face_axis = int(np.argmax(np.abs(n_in_a)))
+        face_sign = -1.0 if n_in_a[face_axis] >= 0 else 1.0
+        u_ax, v_ax = [k for k in range(3) if k != face_axis]
+        poly = []
+        for su in (-1, 1):
+            for sv in (-1, 1):
+                c = np.zeros(3)
+                c[face_axis] = face_sign * hea[face_axis]
+                c[u_ax] = su * hea[u_ax]
+                c[v_ax] = sv * hea[v_ax]
+                poly.append(rb.T @ (a.pos + ra @ c - b.pos))  # b-local
+        poly = [poly[0], poly[1], poly[3], poly[2]]  # rectangle winding
+
+        tu, tv = [k for k in range(3) if k != axis]
+        for t_ax, lim in ((tu, heb[tu]), (tv, heb[tv])):
+            for side in (1.0, -1.0):
+                clipped = []
+                for i in range(len(poly)):
+                    p, q = poly[i], poly[(i + 1) % len(poly)]
+                    dp, dq = side * p[t_ax] - lim, side * q[t_ax] - lim
+                    if dp <= 0:
+                        clipped.append(p)
+                    if (dp <= 0) != (dq <= 0):
+                        t = dp / (dp - dq)
+                        clipped.append(p + t * (q - p))
+                poly = clipped
+                if not poly:
+                    return []
+
+        out = []
+        for p in poly:
+            depth = float(heb[axis] - sign * p[axis])
+            if depth > 0:
+                out.append((a, b, b.pos + rb @ p, n, depth))
+        return out
 
     def _against_mesh(self, body: _Body, mesh: _Body):
         """Sphere- or box-vs-static-mesh via BVH closest-point queries (the mesh is

@@ -280,3 +280,20 @@ class TestMeshBodies:
             w.step()
         assert abs(w.bodies[crate].pos[1] - 0.05) < 0.005
         assert abs(w.bodies[ball].pos[1] - 0.14) < 0.01  # crate top + ball radius
+
+
+class TestBoxStacking:
+    def test_box_tower_stands(self):
+        # Three offset boxes dropped 1 cm each stack at exact rest heights — face-clip
+        # manifolds keep the contact torque symmetric (corner probes walk sideways).
+        w = PhysicsWorld()
+        w.add_body(ShapePlane(), static=True)
+        boxes = [w.add_body(ShapeBox((0.05, 0.05, 0.05)),
+                            position=(0.002 * k, 0.05 + 0.11 * k, 0.0),
+                            motion=PhysicsMotion(mass=1.0)) for k in range(3)]
+        for _ in range(960):
+            w.step()
+        for k, h in enumerate(boxes):
+            p = w.bodies[h].pos
+            assert abs(p[1] - (0.05 + 0.1 * k)) < 0.005, (k, p)
+            assert np.linalg.norm(p[[0, 2]] - [0.002 * k, 0.0]) < 0.05, (k, p)
