@@ -252,3 +252,64 @@ class SceneAudio:
             kind="impact", obj=slot, expos=expos, j=tuple(np.asarray(j, np.float64)),
             pulse_step=pulse_step, pulse_gamma=pulse_gamma, accel_amp=accel_amp,
         ))
+
+
+def simulate_scene(
+    registry: Registry,
+    store_dir,
+    seconds: float,
+    sample_rate: float = 48_000.0,
+    block_size: int = 512,
+    gravity=(0.0, -9.81, 0.0),
+    tet_resolution: int = 24,
+    progress=None,
+) -> np.ndarray:
+    """The reference's headline loop, scene-in/audio-out: entities carrying both a
+    rigid body and an acoustic setup fall, collide, scrape — and sound. Solves what
+    is stale (SceneAudio.reconcile), builds the physics world from the rigid-body
+    components, bridges contact reports into strikes and sustained voices each audio
+    block, and writes the simulated poses back onto the entities at the end
+    (reference: AudioSystem::Process + PhysicsSystem step ordering)."""
+    from ..physics.bridge import AudioBody, AudioContactBridge
+    from ..physics.scene_build import build_world, write_back_poses
+    from ..synth.contact import ContactDynamics, inverse_inertia_tensor
+
+    sa = SceneAudio(registry, store_dir, sample_rate, tet_resolution)
+    sa.reconcile(progress)
+    world, handles = build_world(registry, gravity=gravity)
+    bridge = AudioContactBridge(sa.synth) if sa.synth is not None else None
+    if bridge is not None:
+        for e, slot in sa._slots.items():
+            if e not in handles:
+                continue
+            live = sa._live[e]
+            mp = live.mass
+            positions = np.asarray(live.modes.positions, np.float64)
+            dyn = ContactDynamics(
+                mass=float(getattr(mp, "mass", 0.0)),
+                inverse_inertia=inverse_inertia_tensor(mp),
+                contact_arm=positions - np.asarray(
+                    getattr(mp, "center_of_mass", np.zeros(3))),
+            )
+            bridge.register(handles[e], AudioBody(
+                synth_obj=slot, dynamics=dyn, material=live.material,
+                sample_positions=positions,
+            ))
+
+    total_blocks = int(np.ceil(seconds * sample_rate / block_size))
+    out = np.zeros(total_blocks * block_size, np.float32)
+    carry = 0.0
+    for blk in range(total_blocks):
+        carry += block_size / sample_rate / world.dt
+        steps = int(carry)
+        carry -= steps
+        for _ in range(steps):
+            world.step()
+            if bridge is not None and world.impacts:
+                bridge.on_impacts(world.impacts)
+        if bridge is not None:
+            sa.synth.publish_voices(bridge.resolve_voices(world.sustained, sample_rate))
+            out[blk * block_size:(blk + 1) * block_size] = np.asarray(
+                sa.synth.render(block_size))
+    write_back_poses(registry, world, handles)
+    return out

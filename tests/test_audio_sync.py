@@ -103,3 +103,28 @@ class TestSceneAudio:
         r = sa.reconcile()
         assert r.removed == [e]
         assert sa.synth is None
+
+
+class TestSimulateScene:
+    def test_drop_rings_and_rests(self, tmp_path):
+        from mesheditor_tpu.scene.audio_sync import simulate_scene
+
+        reg, e = make_scene()
+        reg.emplace(e, Transform(translation=np.array([0.0, 0.2, 0.0])))
+        # Heavy enough that the landing impulse (~m*v*(1+e)) clears the reference's
+        # 0.2 kg*m/s min_contact_impulse threshold.
+        reg.emplace(e, __import__("mesheditor_tpu.scene.components", fromlist=["RigidBodyComponent"])
+                    .RigidBodyComponent(shape_kind="sphere", radius=0.03, is_dynamic=True,
+                                        mass=0.3))
+        floor = reg.create()
+        reg.emplace(floor, __import__("mesheditor_tpu.scene.components", fromlist=["RigidBodyComponent"])
+                    .RigidBodyComponent(shape_kind="plane"))
+        audio = simulate_scene(reg, tmp_path / "modal", seconds=0.6,
+                               sample_rate=96_000.0, tet_resolution=6)
+        assert np.isfinite(audio).all()
+        assert np.abs(audio).max() > 0  # the fall produced sound
+        # The impact happens after the free-fall time, not at t=0.
+        first = int(np.flatnonzero(np.abs(audio) > 0)[0])
+        assert first > 0.1 * 96_000
+        t = reg.get(e, Transform)
+        assert abs(t.translation[1] - 0.03) < 0.01  # rests at its radius
