@@ -73,6 +73,27 @@ def cmd_render(args):
     print(f"rendered {args.seconds}s ({args.strikes} strikes) -> {args.out} (peak {peak:.4f})")
 
 
+def cmd_simulate(args):
+    import tempfile
+
+    import numpy as np
+
+    from .io import write_wav
+    from .io.gltf import import_gltf
+    from .scene.audio_sync import simulate_scene
+
+    store = args.store or tempfile.mkdtemp(prefix="mesheditor_tpu_store_")
+    reg = import_gltf(args.scene, store_dir=store)
+    print(f"scene: {len(reg.entities())} entities; store {store}")
+    audio = simulate_scene(
+        reg, store, seconds=args.seconds, tet_resolution=args.tet_resolution,
+        progress=lambda p: print(f"  solve progress {p:4.0%}", end="\r"),
+    )
+    peak = max(float(np.abs(audio).max()), 1e-9)
+    write_wav(args.out, audio / peak * 0.9)
+    print(f"simulated {args.seconds}s of physics audio -> {args.out} (peak {peak:.4f})")
+
+
 def cmd_info(args):
     from .io import load_modal_model
 
@@ -111,6 +132,14 @@ def main(argv=None):
     r.add_argument("--strikes", type=int, default=4)
     r.add_argument("--seed", type=int, default=0)
     r.set_defaults(fn=cmd_render)
+
+    sim = sub.add_parser("simulate", help="glTF scene -> physics-driven audio wav")
+    sim.add_argument("scene", help=".gltf/.glb with KHR_physics/audio_rigid_bodies")
+    sim.add_argument("--seconds", type=float, default=3.0)
+    sim.add_argument("--out", default="simulation.wav")
+    sim.add_argument("--store", default=None, help="modal model store dir")
+    sim.add_argument("--tet-resolution", type=int, default=24)
+    sim.set_defaults(fn=cmd_simulate)
 
     i = sub.add_parser("info", help="inspect a modal model file")
     i.add_argument("model")

@@ -55,3 +55,24 @@ class TestViz:
         p3 = tmp_path / "wave.png"
         plot_waveform_png(p3, audio)
         assert p3.stat().st_size > 5_000
+
+
+class TestCliSimulate:
+    def test_simulate_glb_scene(self, tmp_path):
+        from mesheditor_tpu.__main__ import main
+        from mesheditor_tpu.io.gltf import export_gltf
+        from tests.test_gltf_audio_ext import scene_with_model
+        from mesheditor_tpu.scene.components import RigidBodyComponent, Transform
+
+        reg, e, modes, mass = scene_with_model(tmp_path)
+        reg.emplace(e, Transform(translation=np.array([0.0, 0.25, 0.0])))
+        reg.emplace(e, RigidBodyComponent(shape_kind="sphere", radius=0.05,
+                                          is_dynamic=True, mass=0.5))
+        floor = reg.create()
+        reg.emplace(floor, RigidBodyComponent(shape_kind="plane"))
+        glb = tmp_path / "scene.glb"
+        export_gltf(reg, glb)
+        wav = tmp_path / "sim.wav"
+        main(["simulate", str(glb), "--seconds", "0.4", "--out", str(wav),
+              "--store", str(tmp_path / "store2")])
+        assert wav.stat().st_size > 10_000
