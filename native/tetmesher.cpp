@@ -41,9 +41,41 @@ inline V3 cross(const V3 &a, const V3 &b) {
 }
 inline double norm2(const V3 &a) { return dot(a, a); }
 
+// Robust predicates: evaluate in double with a conservative magnitude filter; when the
+// result is smaller than the rounding-error bound, re-evaluate in __float128 (113-bit
+// mantissa — differences of doubles are exact there, products carry ~2^-113 relative
+// error, far below any filterable scale). The role Shewchuk's adaptive predicates play
+// in the reference's TetGen path, with quad arithmetic standing in for the expansion
+// arithmetic; the deterministic jitter remains the final tie-breaker for the
+// (astronomically unlikely) residual ties.
+typedef __float128 quad;
+struct Q3 {
+    quad x, y, z;
+    Q3(const V3 &v) : x(v.x), y(v.y), z(v.z) {}
+};
+
+inline quad orient3d_q(const V3 &a, const V3 &b, const V3 &c, const V3 &d) {
+    const Q3 qa(a), qb(b), qc(c), qd(d);
+    const quad bx = qb.x - qa.x, by = qb.y - qa.y, bz = qb.z - qa.z;
+    const quad cx = qc.x - qa.x, cy = qc.y - qa.y, cz = qc.z - qa.z;
+    const quad dx = qd.x - qa.x, dy = qd.y - qa.y, dz = qd.z - qa.z;
+    return dx * (by * cz - bz * cy) + dy * (bz * cx - bx * cz) + dz * (bx * cy - by * cx);
+}
+
 inline double orient3d(const V3 &a, const V3 &b, const V3 &c, const V3 &d) {
     // > 0 when d is on the positive side of plane(a, b, c).
-    return dot(d - a, cross(b - a, c - a));
+    const V3 ab = b - a, ac = c - a, ad = d - a;
+    const double t0 = ad.x * (ab.y * ac.z - ab.z * ac.y);
+    const double t1 = ad.y * (ab.z * ac.x - ab.x * ac.z);
+    const double t2 = ad.z * (ab.x * ac.y - ab.y * ac.x);
+    const double det = t0 + t1 + t2;
+    const double mag = std::fabs(ad.x) * (std::fabs(ab.y * ac.z) + std::fabs(ab.z * ac.y)) +
+                       std::fabs(ad.y) * (std::fabs(ab.z * ac.x) + std::fabs(ab.x * ac.z)) +
+                       std::fabs(ad.z) * (std::fabs(ab.x * ac.y) + std::fabs(ab.y * ac.x));
+    const double err = 3.3307e-16 * mag;  // ~ (3 + 16 eps) eps, conservative
+    if (det > err || det < -err) return det;
+    const quad q = orient3d_q(a, b, c, d);
+    return q > 0 ? 1.0 : (q < 0 ? -1.0 : 0.0);
 }
 
 inline double insphere(const V3 &a, const V3 &b, const V3 &c, const V3 &d, const V3 &p) {
@@ -66,9 +98,42 @@ inline double insphere(const V3 &a, const V3 &b, const V3 &c, const V3 &d, const
     det += m[1][3] * det3(m[0][0], m[0][1], m[0][2], m[2][0], m[2][1], m[2][2], m[3][0], m[3][1], m[3][2]);
     det -= m[2][3] * det3(m[0][0], m[0][1], m[0][2], m[1][0], m[1][1], m[1][2], m[3][0], m[3][1], m[3][2]);
     det += m[3][3] * det3(m[0][0], m[0][1], m[0][2], m[1][0], m[1][1], m[1][2], m[2][0], m[2][1], m[2][2]);
-    // This determinant is negative for p strictly inside the circumsphere of a
-    // positively-oriented tet; negate so the conventional "> 0 means inside" holds.
-    return -det;
+    // Magnitude filter: same expansion with every product taken in absolute value.
+    auto det3abs = [](double a0, double a1, double a2, double b0, double b1, double b2,
+                      double c0, double c1, double c2) {
+        return std::fabs(a0) * (std::fabs(b1 * c2) + std::fabs(b2 * c1)) +
+               std::fabs(a1) * (std::fabs(b0 * c2) + std::fabs(b2 * c0)) +
+               std::fabs(a2) * (std::fabs(b0 * c1) + std::fabs(b1 * c0));
+    };
+    double mag = 0;
+    mag += std::fabs(m[0][3]) * det3abs(m[1][0], m[1][1], m[1][2], m[2][0], m[2][1], m[2][2], m[3][0], m[3][1], m[3][2]);
+    mag += std::fabs(m[1][3]) * det3abs(m[0][0], m[0][1], m[0][2], m[2][0], m[2][1], m[2][2], m[3][0], m[3][1], m[3][2]);
+    mag += std::fabs(m[2][3]) * det3abs(m[0][0], m[0][1], m[0][2], m[1][0], m[1][1], m[1][2], m[3][0], m[3][1], m[3][2]);
+    mag += std::fabs(m[3][3]) * det3abs(m[0][0], m[0][1], m[0][2], m[1][0], m[1][1], m[1][2], m[2][0], m[2][1], m[2][2]);
+    const double err = 1.2e-15 * mag;  // conservative rounding bound for the expansion
+    if (det > err || det < -err) {
+        // Negative for p strictly inside the circumsphere of a positively-oriented
+        // tet; negate so the conventional "> 0 means inside" holds.
+        return -det;
+    }
+    // Filter failed: re-evaluate in quad from the original coordinates.
+    const Q3 qa(a), qb(b), qc(c), qd(d), qp(p);
+    const quad ax = qa.x - qp.x, ay = qa.y - qp.y, az = qa.z - qp.z;
+    const quad bx = qb.x - qp.x, by = qb.y - qp.y, bz = qb.z - qp.z;
+    const quad cx = qc.x - qp.x, cy = qc.y - qp.y, cz = qc.z - qp.z;
+    const quad dx = qd.x - qp.x, dy = qd.y - qp.y, dz = qd.z - qp.z;
+    const quad aq = ax * ax + ay * ay + az * az, bq = bx * bx + by * by + bz * bz;
+    const quad cq = cx * cx + cy * cy + cz * cz, dq = dx * dx + dy * dy + dz * dz;
+    auto det3q = [](quad a0, quad a1, quad a2, quad b0, quad b1, quad b2,
+                    quad c0, quad c1, quad c2) {
+        return a0 * (b1 * c2 - b2 * c1) - a1 * (b0 * c2 - b2 * c0) + a2 * (b0 * c1 - b1 * c0);
+    };
+    quad qdet = 0;
+    qdet -= aq * det3q(bx, by, bz, cx, cy, cz, dx, dy, dz);
+    qdet += bq * det3q(ax, ay, az, cx, cy, cz, dx, dy, dz);
+    qdet -= cq * det3q(ax, ay, az, bx, by, bz, dx, dy, dz);
+    qdet += dq * det3q(ax, ay, az, bx, by, bz, cx, cy, cz);
+    return qdet < 0 ? 1.0 : (qdet > 0 ? -1.0 : 0.0);
 }
 
 inline u64 splitmix(u64 &s) {
