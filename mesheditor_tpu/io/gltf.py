@@ -179,13 +179,22 @@ def export_gltf(r: Registry, path) -> None:
                 "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc},
                 "indices": idx_acc,
             }
+            if mesh.morph_targets.shape[0]:
+                prim["targets"] = [
+                    {"POSITION": _accessor(gltf, buffers,
+                                           np.asarray(tgt, np.float32), target=34962)}
+                    for tgt in mesh.morph_targets
+                ]
             mat = r.get(e, AcousticMaterialRef)
             if mat is not None:
                 gltf["materials"].append(
                     {"name": mat.name, "pbrMetallicRoughness": {"metallicFactor": 0.2, "roughnessFactor": 0.7}}
                 )
                 prim["material"] = len(gltf["materials"]) - 1
-            gltf["meshes"].append({"primitives": [prim]})
+            mesh_entry: dict = {"primitives": [prim]}
+            if mesh.morph_weights.shape[0]:
+                mesh_entry["weights"] = [float(w) for w in mesh.morph_weights]
+            gltf["meshes"].append(mesh_entry)
             node["mesh"] = len(gltf["meshes"]) - 1
         extras = {}
         mat = r.get(e, AcousticMaterialRef)
@@ -480,7 +489,17 @@ def import_gltf(path, store_dir=None) -> Registry:
                 idx = _read_accessor(gltf, buffers, prim["indices"]).astype(np.uint32)
             else:
                 idx = np.arange(pos.shape[0], dtype=np.uint32)
-            r.emplace(e, MeshSurface(positions=pos, triangles=idx.reshape(-1, 3)))
+            targets = np.zeros((0, 0, 3))
+            if prim.get("targets"):
+                deltas = [
+                    np.asarray(_read_accessor(gltf, buffers, t["POSITION"]), np.float64)
+                    for t in prim["targets"] if "POSITION" in t
+                ]
+                if deltas:
+                    targets = np.stack(deltas)
+            weights = np.asarray(mesh.get("weights", node.get("weights", [])), np.float64)
+            r.emplace(e, MeshSurface(positions=pos, triangles=idx.reshape(-1, 3),
+                                     morph_targets=targets, morph_weights=weights))
         extras = node.get("extras", {})
         ac = extras.get("MESHEDITOR_TPU_acoustic")
         if ac:

@@ -45,6 +45,16 @@ class WorldTransform:
 class MeshSurface:
     positions: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
     triangles: np.ndarray = field(default_factory=lambda: np.zeros((0, 3), np.uint32))
+    # glTF morph targets: (m, n, 3) POSITION deltas + the current weights (m,).
+    morph_targets: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 3)))
+    morph_weights: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+    def morphed_positions(self) -> np.ndarray:
+        """Base positions plus the weighted morph deltas (glTF 2.0 morph semantics)."""
+        if self.morph_targets.shape[0] == 0 or self.morph_weights.shape[0] == 0:
+            return self.positions
+        w = self.morph_weights[: self.morph_targets.shape[0]]
+        return self.positions + np.einsum("m,mnk->nk", w, self.morph_targets)
 
 
 @dataclass

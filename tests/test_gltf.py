@@ -71,3 +71,52 @@ class TestRoundtrip:
         export_gltf(import_gltf(p1), p2)
         if suffix == ".glb":
             assert p1.read_bytes() == p2.read_bytes()
+
+
+class TestMorphTargets:
+    def test_morph_roundtrip_and_blend(self, tmp_path):
+        from mesheditor_tpu.io.gltf import export_gltf, import_gltf
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.scene.components import MeshSurface
+        from mesheditor_tpu.scene.registry import Registry
+
+        pts, tris = icosphere_surface(1)
+        bulge = pts * 0.3                    # target 0: inflate
+        squash = pts * np.array([0, -0.5, 0])  # target 1: flatten y
+        reg = Registry()
+        e = reg.create()
+        reg.emplace(e, MeshSurface(positions=pts, triangles=tris,
+                                   morph_targets=np.stack([bulge, squash]),
+                                   morph_weights=np.array([0.5, 0.25])))
+        path = tmp_path / "morph.glb"
+        export_gltf(reg, path)
+        r2 = import_gltf(path)
+        (e2,) = [x for x, _ in r2.view(MeshSurface)]
+        m2 = r2.get(e2, MeshSurface)
+        assert m2.morph_targets.shape == (2, pts.shape[0], 3)
+        np.testing.assert_allclose(m2.morph_weights, [0.5, 0.25])
+        expect = pts + 0.5 * bulge + 0.25 * squash
+        np.testing.assert_allclose(m2.morphed_positions(), expect, atol=1e-6)
+
+    def test_animated_morph_weights_drive_blend(self):
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.scene.animation import (
+            AnimationChannel, AnimationClip, Interpolation, TargetPath, evaluate_clip,
+        )
+        from mesheditor_tpu.scene.components import MeshSurface
+        from mesheditor_tpu.scene.registry import Registry
+
+        pts, tris = icosphere_surface(1)
+        reg = Registry()
+        e = reg.create()
+        surf = MeshSurface(positions=pts, triangles=tris,
+                           morph_targets=pts[None] * 1.0,
+                           morph_weights=np.zeros(1))
+        reg.emplace(e, surf)
+        clip = AnimationClip(channels=[AnimationChannel(
+            entity=e, path=TargetPath.WEIGHTS,
+            times=np.array([0.0, 1.0]), values=np.array([[0.0], [1.0]]),
+            interpolation=Interpolation.LINEAR)])
+        weights = evaluate_clip(reg, clip, 0.5)
+        surf.morph_weights = weights[e]
+        np.testing.assert_allclose(surf.morphed_positions(), pts * 1.5, atol=1e-9)
