@@ -410,6 +410,114 @@ int tetmesh_delaunay(
     }
     for (u64 i = 0; i < nall; ++i) dl.insert((u32)(4 + i));
 
+    // ---- Boundary recovery (conforming Delaunay with Steiner points) ----
+    // Every input surface triangle must appear as a union of triangulation faces, or
+    // the carve can cut through the skin. Missing constraint edges get midpoints and
+    // missing faces get centroids (TetGen's conforming refinement, simplified); a
+    // split constraint is replaced by its sub-triangles and the loop re-checks, a few
+    // rounds at most. Steiner points append after the lattice points, so surface
+    // vertex ids stay preserved for the caller.
+    {
+        std::vector<std::array<u32, 3>> constraints(ntris);
+        for (u64 i = 0; i < ntris; ++i)
+            constraints[i] = {tris[3 * i], tris[3 * i + 1], tris[3 * i + 2]};
+        std::unordered_map<u64, u32> edge_steiner;  // sorted edge -> steiner vertex id
+        auto ekey = [](u32 a, u32 b) {
+            if (a > b) std::swap(a, b);
+            return ((u64)a << 32) | b;
+        };
+        auto add_point = [&](double x, double y, double z) -> u32 {
+            u32 id = (u32)(all.size() / 3);
+            all.push_back(x); all.push_back(y); all.push_back(z);
+            const double jx = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+            const double jy2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+            const double jz2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+            dl.pts.push_back({x + jx, y + jy2, z + jz2});
+            dl.insert(4 + id);
+            return id;
+        };
+        for (int round = 0; round < 6; ++round) {
+            // Face and edge sets of the live triangulation (surface-id space).
+            std::unordered_map<u64, char> faces;
+            std::unordered_map<u64, char> edges;
+            faces.reserve(dl.tets.size() * 4);
+            edges.reserve(dl.tets.size() * 6);
+            const u64 nv = all.size() / 3;
+            if (nv >= (1ull << 21)) break;  // face keys pack 3x21 bits
+            auto fkey = [](u32 a, u32 b, u32 c) {
+                if (a > b) std::swap(a, b);
+                if (b > c) std::swap(b, c);
+                if (a > b) std::swap(a, b);
+                return ((u64)a << 42) | ((u64)b << 21) | c;
+            };
+            static constexpr int FACE_T[4][3] = {{1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
+            for (const Tet &t : dl.tets) {
+                if (!t.alive) continue;
+                u32 v[4];
+                bool bounding = false;
+                for (int k = 0; k < 4; ++k) {
+                    if (t.v[k] < 4) { bounding = true; break; }
+                    v[k] = t.v[k] - 4;
+                }
+                if (bounding) continue;
+                for (int f = 0; f < 4; ++f)
+                    faces[fkey(v[FACE_T[f][0]], v[FACE_T[f][1]], v[FACE_T[f][2]])] = 1;
+                for (int i = 0; i < 4; ++i)
+                    for (int j = i + 1; j < 4; ++j) edges[ekey(v[i], v[j])] = 1;
+            }
+            std::vector<std::array<u32, 3>> next;
+            next.reserve(constraints.size());
+            bool any_split = false;
+            for (const auto &c : constraints) {
+                if (faces.count(fkey(c[0], c[1], c[2]))) {
+                    next.push_back(c);
+                    continue;
+                }
+                // Split the longest missing edge first; with all edges present but the
+                // face still flipped away, split at the centroid.
+                int split_edge = -1;
+                double best = -1;
+                for (int k = 0; k < 3; ++k) {
+                    u32 a = c[k], b = c[(k + 1) % 3];
+                    if (edges.count(ekey(a, b))) continue;
+                    const V3 pa{all[3 * a], all[3 * a + 1], all[3 * a + 2]};
+                    const V3 pb{all[3 * b], all[3 * b + 1], all[3 * b + 2]};
+                    const double l2 = norm2(pb - pa);
+                    if (l2 > best) { best = l2; split_edge = k; }
+                }
+                any_split = true;
+                if (split_edge >= 0) {
+                    u32 a = c[split_edge], b = c[(split_edge + 1) % 3];
+                    u32 o = c[(split_edge + 2) % 3];
+                    auto it = edge_steiner.find(ekey(a, b));
+                    u32 m;
+                    if (it != edge_steiner.end()) m = it->second;
+                    else {
+                        m = add_point(0.5 * (all[3 * a] + all[3 * b]),
+                                      0.5 * (all[3 * a + 1] + all[3 * b + 1]),
+                                      0.5 * (all[3 * a + 2] + all[3 * b + 2]));
+                        edge_steiner[ekey(a, b)] = m;
+                    }
+                    next.push_back({a, m, o});
+                    next.push_back({m, b, o});
+                } else {
+                    const u32 a = c[0], b = c[1], cc = c[2];
+                    const u32 g = add_point(
+                        (all[3 * a] + all[3 * b] + all[3 * cc]) / 3.0,
+                        (all[3 * a + 1] + all[3 * b + 1] + all[3 * cc + 1]) / 3.0,
+                        (all[3 * a + 2] + all[3 * b + 2] + all[3 * cc + 2]) / 3.0);
+                    next.push_back({a, b, g});
+                    next.push_back({b, cc, g});
+                    next.push_back({cc, a, g});
+                }
+            }
+            constraints.swap(next);
+            if (!any_split) break;
+            if (all.size() / 3 > nall + 4 * ntris) break;  // runaway guard
+        }
+    }
+    const u64 nfinal = all.size() / 3;
+
     // Carve + collect: drop bounding-tet incidences, keep interior centroids, drop slivers.
     std::vector<std::array<u32, 4>> keep;
     for (const Tet &t : dl.tets) {
@@ -434,14 +542,14 @@ int tetmesh_delaunay(
 
     if (!out_tets) {
         *inout_ntets = keep.size();
-        *inout_npoints = nall;
+        *inout_npoints = nfinal;
         return 0;
     }
-    if (*inout_ntets < keep.size() || *inout_npoints < nall) return 3;
+    if (*inout_ntets < keep.size() || *inout_npoints < nfinal) return 3;
     std::memcpy(out_tets, keep.data(), keep.size() * 4 * sizeof(u32));
     std::memcpy(out_points, all.data(), all.size() * sizeof(double));
     *inout_ntets = keep.size();
-    *inout_npoints = nall;
+    *inout_npoints = nfinal;
     return 0;
 }
 

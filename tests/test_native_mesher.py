@@ -52,3 +52,26 @@ class TestDelaunayMesher:
         res = mesh2modes(tm, CERAMIC.properties, pts[:4], config=cfg)
         assert res.modes.num_modes >= 4
         assert 1000 < res.modes.freqs[0] < 48000
+
+
+class TestBoundaryRecovery:
+    def test_tetmesh_fills_polyhedron_exactly(self):
+        # Conforming-Delaunay boundary recovery: the tet mesh must fill the input
+        # polyhedron exactly (boundary faces = the input surface, possibly subdivided)
+        # — no carved-away skin. Torus: curved + genus 1; grid box: degeneracy-heavy.
+        from mesheditor_tpu.mesh import grid_box_surface, torus_surface
+        from mesheditor_tpu.mesh.bvh import enclosed_volume
+        from mesheditor_tpu.mesh.cdt import generate_tets_delaunay, native_available
+
+        if not native_available():
+            pytest.skip("native mesher not built")
+        for pts, tris, h in [
+            (*torus_surface(0.06, 0.025, 24, 12), 0.012),
+            (*grid_box_surface(4), 0.25),
+        ]:
+            poly = enclosed_volume(pts, tris.astype(np.int64))
+            tm = generate_tets_delaunay(pts, tris, lattice_h=h)
+            v0, v1, v2, v3 = (tm.points[tm.tets[:, i]] for i in range(4))
+            vol = np.abs(np.einsum("ij,ij->i", v1 - v0,
+                                   np.cross(v2 - v0, v3 - v0))).sum() / 6
+            assert abs(vol / poly - 1.0) < 1e-9, (vol, poly)
