@@ -99,13 +99,16 @@ def load_listener_points(directory) -> list[ListenerPoint]:
 
 
 def load_impact_positions(directory) -> np.ndarray:
-    """World positions (Y-up meters) of the 5 impact vertices."""
+    """Positions of the 5 impact vertices, rotated Y-up but in the OBJ's native units —
+    the reference matches them against the unscaled transformed.obj by nearest vertex
+    (LoadPositions, RealImpact.cpp:134-144 + Io.cpp's FindNearestVertex; only listener
+    points get the mm->m conversion)."""
     d = _preprocessed(directory)
     xyz = np.load(d / "vertexXYZ.npy")
     # One entry per (listener, impact); unique impact positions repeat every 600 rows.
     stride = NUM_LISTENER_POINTS if xyz.shape[0] >= NUM_LISTENER_POINTS * NUM_IMPACT_VERTICES else 1
     picks = xyz[::stride][:NUM_IMPACT_VERTICES]
-    return z_up_to_y_up(picks) / 1000.0
+    return z_up_to_y_up(picks)
 
 
 def load_samples(directory, listener_point_index: int) -> np.ndarray:
@@ -121,9 +124,9 @@ def load_samples(directory, listener_point_index: int) -> np.ndarray:
 class RealImpactScan:
     object_name: str
     material_name: str | None
-    positions: np.ndarray  # (n, 3) mesh vertices, Y-up meters
+    positions: np.ndarray  # (n, 3) mesh vertices, Y-up, OBJ-native units
     triangles: np.ndarray  # (m, 3)
-    impact_positions: np.ndarray  # (5, 3)
+    impact_positions: np.ndarray  # (5, 3) same frame/units as `positions`
     listener_points: list[ListenerPoint]
     directory: Path
 
