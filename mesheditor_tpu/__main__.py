@@ -110,6 +110,35 @@ def cmd_bench(args):
     run()
 
 
+def cmd_view(args):
+    """Screenshot a scene/mesh through the TPU rasterizer (the reference's
+    --screenshot/--headless render path, main.cpp:1387-1433)."""
+    from .render import RenderSettings, render_mesh, render_scene, save_png
+    from .render.camera import frame_points
+
+    settings = RenderSettings(width=args.width, height=args.height, mode=args.mode,
+                              supersample=args.supersample)
+    path = args.scene
+    if path.endswith((".gltf", ".glb")):
+        from .io.gltf import import_gltf
+
+        r = import_gltf(path)
+        view = render_scene(r, settings=settings)
+        img = view.image()
+        n = len(view.batch.entities)
+        print(f"scene: {n} mesh entities, {view.batch.triangles.shape[0]} triangles")
+    else:
+        from .mesh import load_obj, load_ply
+
+        load = load_ply if path.endswith(".ply") else load_obj
+        pts, tris = load(path)
+        cam = frame_points(pts, azimuth_deg=args.azimuth, elevation_deg=args.elevation)
+        img = render_mesh(pts, tris, camera=cam, settings=settings)
+        print(f"mesh: {pts.shape[0]} verts, {tris.shape[0]} tris")
+    save_png(args.out, img)
+    print(f"wrote {args.out} ({settings.width}x{settings.height}, {settings.mode})")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mesheditor_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -147,6 +176,18 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser("view", help="screenshot a mesh/scene (obj/ply/gltf) to PNG")
+    v.add_argument("scene")
+    v.add_argument("--out", default="view.png")
+    v.add_argument("--width", type=int, default=960)
+    v.add_argument("--height", type=int, default=720)
+    v.add_argument("--mode", default="smooth",
+                   choices=["smooth", "flat", "wireframe", "wireframe_only"])
+    v.add_argument("--supersample", type=int, default=2)
+    v.add_argument("--azimuth", type=float, default=-60.0)
+    v.add_argument("--elevation", type=float, default=25.0)
+    v.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,261 @@
+"""Scene-level rendering: ECS registry -> lit image / G-buffer (the SubmitViewport +
+ProcessComponentEvents render path, reference src/viewport/Viewport.h:10-32).
+
+Flattens every MeshSurface under its WorldTransform into one vertex/triangle soup with
+per-triangle object ids (the reference's contiguous GPU arenas + instance models,
+src/mesh/MeshStore.h:76), builds the material table from VisualMaterial components and
+the light bank from LightComponent entities, and runs the jitted raster + shade passes.
+Supersampled rendering (ss=2) stands in for MSAA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .camera import Camera, frame_points, view_projection
+from .picking import box_select, pick_element, pick_object
+from .raster import GBuffer, project_points, rasterize
+from .shading import LightBank, MaterialTable, shade, vertex_normals
+
+
+@dataclass
+class RenderSettings:
+    width: int = 640
+    height: int = 480
+    mode: str = "smooth"  # smooth | flat | wireframe (overlay) | wireframe_only
+    supersample: int = 1
+    background: tuple = (0.125, 0.133, 0.153)
+    ambient: tuple = (0.06, 0.06, 0.07)
+    chunk: int = 8
+
+
+@dataclass
+class SceneBatch:
+    """Flattened draw soup + the id maps picking needs."""
+
+    positions: np.ndarray   # (N, 3) world
+    normals: np.ndarray     # (N, 3) world
+    triangles: np.ndarray   # (T, 3)
+    tri_obj: np.ndarray     # (T,) row into entities/materials
+    entities: list          # object row -> entity id
+    materials: MaterialTable
+    lights: LightBank
+
+
+def _light_world_dir(r, e) -> np.ndarray:
+    """Light direction = node world -Z (KHR_lights_punctual convention)."""
+    from ..scene.components import WorldTransform
+
+    wt = r.get(e, WorldTransform)
+    m = wt.matrix if wt is not None else np.eye(4)
+    d = -np.asarray(m)[:3, 2]
+    n = np.linalg.norm(d)
+    return d / n if n > 1e-12 else np.array([0.0, -1.0, 0.0])
+
+
+def flatten_scene(r) -> SceneBatch:
+    """Registry -> draw batch. Requires world transforms to be derived (r.process())."""
+    from ..scene.components import (
+        LightComponent, MeshSurface, VisualMaterial, WorldTransform,
+    )
+    from .shading import LIGHT_DIRECTIONAL, LIGHT_POINT, LIGHT_SPOT
+
+    pos_parts, nrm_parts, tri_parts, obj_parts, entities = [], [], [], [], []
+    base_colors, metallics, roughnesses, emissives = [], [], [], []
+    offset = 0
+    for e, surf in sorted(r.view(MeshSurface), key=lambda kv: kv[0]):
+        p = np.asarray(surf.morphed_positions(), np.float64)
+        t = np.asarray(surf.triangles, np.int64).reshape(-1, 3)
+        if p.shape[0] == 0 or t.shape[0] == 0:
+            continue
+        wt = r.get(e, WorldTransform)
+        m = np.asarray(wt.matrix) if wt is not None else np.eye(4)
+        pw = p @ m[:3, :3].T + m[:3, 3]
+        # Normals via inverse-transpose so non-uniform scales light correctly.
+        nrm_local = vertex_normals(p, t)
+        nit = np.linalg.inv(m[:3, :3]).T if abs(np.linalg.det(m[:3, :3])) > 1e-18 else m[:3, :3]
+        nw = nrm_local @ nit.T
+        nn = np.linalg.norm(nw, axis=1, keepdims=True)
+        nw = np.divide(nw, nn, out=np.zeros_like(nw), where=nn > 1e-20)
+        row = len(entities)
+        pos_parts.append(pw)
+        nrm_parts.append(nw)
+        tri_parts.append(t + offset)
+        obj_parts.append(np.full(t.shape[0], row, np.int32))
+        entities.append(e)
+        offset += p.shape[0]
+        mat = r.get(e, VisualMaterial)
+        if mat is None:
+            from ..scene.components import VisualMaterial as VM
+
+            mat = VM()
+        base_colors.append(np.asarray(mat.base_color, np.float32).reshape(4))
+        metallics.append(float(mat.metallic))
+        roughnesses.append(float(mat.roughness))
+        emissives.append(np.asarray(mat.emissive, np.float32).reshape(3))
+
+    kinds, lpos, ldir, lcol, cones = [], [], [], [], []
+    kind_map = {"directional": LIGHT_DIRECTIONAL, "point": LIGHT_POINT, "spot": LIGHT_SPOT}
+    for e, light in sorted(r.view(LightComponent), key=lambda kv: kv[0]):
+        from ..scene.components import WorldTransform
+
+        wt = r.get(e, WorldTransform)
+        m = np.asarray(wt.matrix) if wt is not None else np.eye(4)
+        kinds.append(kind_map.get(light.kind, LIGHT_DIRECTIONAL))
+        lpos.append(m[:3, 3])
+        ldir.append(_light_world_dir(r, e))
+        lcol.append(np.asarray(light.color, np.float64) * light.intensity)
+        cones.append((np.cos(light.outer_cone_angle), np.cos(light.inner_cone_angle)))
+
+    import jax.numpy as jnp
+
+    if entities:
+        positions = np.concatenate(pos_parts).astype(np.float32)
+        normals = np.concatenate(nrm_parts).astype(np.float32)
+        triangles = np.concatenate(tri_parts).astype(np.int32)
+        tri_obj = np.concatenate(obj_parts)
+        materials = MaterialTable(
+            base_color=jnp.asarray(np.stack(base_colors)),
+            metallic=jnp.asarray(np.asarray(metallics, np.float32)),
+            roughness=jnp.asarray(np.asarray(roughnesses, np.float32)),
+            emissive=jnp.asarray(np.stack(emissives)),
+        )
+    else:
+        positions = np.zeros((0, 3), np.float32)
+        normals = np.zeros((0, 3), np.float32)
+        triangles = np.zeros((0, 3), np.int32)
+        tri_obj = np.zeros(0, np.int32)
+        materials = MaterialTable.default(1)
+    lights = (LightBank.from_lists(kinds, lpos, ldir, lcol, cones) if kinds
+              else LightBank.default())
+    return SceneBatch(positions, normals, triangles, tri_obj, entities, materials, lights)
+
+
+class SceneRenderer:
+    """A bound (scene batch, camera, settings) render with picking — the Viewport."""
+
+    def __init__(self, batch: SceneBatch, camera: Camera, settings: RenderSettings):
+        self.batch = batch
+        self.camera = camera
+        self.settings = settings
+        ss = max(int(settings.supersample), 1)
+        self._rw, self._rh = settings.width * ss, settings.height * ss
+        mvp = view_projection(camera, settings.width, settings.height)
+        self.clip = np.asarray(project_points(mvp, batch.positions))
+        self.gbuf: GBuffer = rasterize(
+            self.clip, batch.triangles, self._rw, self._rh, chunk=settings.chunk
+        )
+
+    def image(self) -> np.ndarray:
+        s = self.settings
+        img = shade(
+            self.gbuf, self.batch.positions, self.batch.normals, self.batch.triangles,
+            self.batch.tri_obj, self.batch.materials, self.batch.lights,
+            eye=np.asarray(self.camera.eye, np.float32),
+            ambient=s.ambient, background=s.background,
+            flat=s.mode == "flat",
+            wireframe=s.mode == "wireframe",
+            wire_only=s.mode == "wireframe_only",
+        )
+        img = np.asarray(img)
+        ss = max(int(s.supersample), 1)
+        if ss > 1:
+            img = img.reshape(s.height, ss, s.width, ss, 3).mean(axis=(1, 3))
+        return img
+
+    def _to_render_px(self, x, y):
+        ss = max(int(self.settings.supersample), 1)
+        return int(x) * ss, int(y) * ss
+
+    def pick_entity(self, x: int, y: int) -> int:
+        """Entity under the pixel; -1 on background (ObjectPick.comp analog)."""
+        rx, ry = self._to_render_px(x, y)
+        row = pick_object(self.gbuf, self.batch.tri_obj, rx, ry)
+        return self.batch.entities[row] if row >= 0 else -1
+
+    def pick_element(self, x: int, y: int, kind: str = "face"):
+        rx, ry = self._to_render_px(x, y)
+        return pick_element(self.gbuf, self.batch.triangles, rx, ry, kind)
+
+    def box_select_entities(self, x0, y0, x1, y1) -> list:
+        ss = max(int(self.settings.supersample), 1)
+        rows = box_select(self.gbuf, self.batch.tri_obj, x0 * ss, y0 * ss,
+                          x1 * ss, y1 * ss)
+        return [self.batch.entities[int(i)] for i in rows]
+
+
+def render_scene(r, camera: Camera | None = None,
+                 settings: RenderSettings | None = None) -> SceneRenderer:
+    """Derive transforms, flatten, rasterize. Returns the renderer (image + picking)."""
+    r.process()
+    batch = flatten_scene(r)
+    settings = settings or RenderSettings()
+    if camera is None:
+        camera = frame_points(batch.positions)
+    return SceneRenderer(batch, camera, settings)
+
+
+def render_mesh(positions, triangles, camera: Camera | None = None,
+                settings: RenderSettings | None = None, vertex_values=None) -> np.ndarray:
+    """One-mesh convenience (the viz.py entry, now through the real rasterizer).
+    `vertex_values` colors per-vertex (e.g. a mode shape) with a viridis ramp."""
+    settings = settings or RenderSettings()
+    positions = np.asarray(positions, np.float32)
+    triangles = np.asarray(triangles, np.int32).reshape(-1, 3)
+    if camera is None:
+        camera = frame_points(positions)
+    normals = vertex_normals(positions, triangles)
+    tri_obj = np.zeros(triangles.shape[0], np.int32)
+    materials = MaterialTable.default(1)
+    ss = max(int(settings.supersample), 1)
+    rw, rh = settings.width * ss, settings.height * ss
+    mvp = view_projection(camera, settings.width, settings.height)
+    clip = project_points(mvp, positions)
+    gbuf = rasterize(clip, triangles, rw, rh, chunk=settings.chunk)
+    img = shade(
+        gbuf, positions, normals, triangles, tri_obj, materials,
+        LightBank.default(), eye=np.asarray(camera.eye, np.float32),
+        ambient=settings.ambient, background=settings.background,
+        flat=settings.mode == "flat",
+        wireframe=settings.mode == "wireframe",
+        wire_only=settings.mode == "wireframe_only",
+    )
+    img = np.asarray(img)
+    if vertex_values is not None:
+        vals = np.asarray(vertex_values, np.float64).reshape(-1)
+        vals = (vals - vals.min()) / max(vals.max() - vals.min(), 1e-30)
+        tri_img = np.asarray(gbuf.tri)
+        bary = np.asarray(gbuf.bary)
+        valid = tri_img >= 0
+        vv = vals[triangles[np.maximum(tri_img, 0)]]  # (H, W, 3)
+        pix = (bary * vv).sum(-1)
+        ramp = _viridis(pix)
+        shadeamt = img.mean(-1, keepdims=True)  # keep lighting
+        img = np.where(valid[..., None], ramp * (0.35 + 0.65 * shadeamt), img)
+    if ss > 1:
+        img = img.reshape(settings.height, ss, settings.width, ss, 3).mean(axis=(1, 3))
+    return img
+
+
+def _viridis(x: np.ndarray) -> np.ndarray:
+    """Small fixed-point viridis approximation (no matplotlib dependency here)."""
+    stops = np.array([
+        [0.267, 0.005, 0.329], [0.283, 0.141, 0.458], [0.254, 0.265, 0.530],
+        [0.207, 0.372, 0.553], [0.164, 0.471, 0.558], [0.128, 0.567, 0.551],
+        [0.135, 0.659, 0.518], [0.267, 0.749, 0.441], [0.478, 0.821, 0.318],
+        [0.741, 0.873, 0.150], [0.993, 0.906, 0.144],
+    ])
+    x = np.clip(np.asarray(x, np.float64), 0.0, 1.0) * (len(stops) - 1)
+    i = np.minimum(x.astype(np.int64), len(stops) - 2)
+    f = (x - i)[..., None]
+    return stops[i] * (1 - f) + stops[i + 1] * f
+
+
+def save_png(path, image: np.ndarray) -> None:
+    """Write a float [0,1] RGB image as PNG (deterministic bytes for corpus diffs)."""
+    from PIL import Image
+
+    arr = np.clip(np.asarray(image) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path, format="PNG")

@@ -1,0 +1,201 @@
+"""Deferred shading: G-buffer -> lit RGB image, one jitted pass.
+
+Metallic-roughness PBR (the reference's glTF-aligned material model,
+src/shaders + README.md:85-88 dynamic PBR feature set) with punctual lights
+(KHR_lights_punctual semantics: directional / point / spot with smooth cone falloff).
+Flat, smooth, and wireframe-overlay modes mirror the reference's mesh render modes
+(README.md:22 "flat/smooth shading, wireframe").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIGHT_DIRECTIONAL = 0
+LIGHT_POINT = 1
+LIGHT_SPOT = 2
+
+
+class MaterialTable(NamedTuple):
+    """Per-object material factors (glTF pbrMetallicRoughness)."""
+
+    base_color: jax.Array  # (O, 4) linear rgba
+    metallic: jax.Array    # (O,)
+    roughness: jax.Array   # (O,)
+    emissive: jax.Array    # (O, 3)
+
+    @staticmethod
+    def default(n: int, base_color=(0.48, 0.65, 0.76, 1.0), metallic=0.2, roughness=0.7):
+        return MaterialTable(
+            base_color=jnp.tile(jnp.asarray(base_color, jnp.float32), (max(n, 1), 1)),
+            metallic=jnp.full(max(n, 1), metallic, jnp.float32),
+            roughness=jnp.full(max(n, 1), roughness, jnp.float32),
+            emissive=jnp.zeros((max(n, 1), 3), jnp.float32),
+        )
+
+
+class LightBank(NamedTuple):
+    """Punctual lights, padded; zero-color entries contribute nothing."""
+
+    kind: jax.Array       # (L,) int32
+    position: jax.Array   # (L, 3) point/spot position
+    direction: jax.Array  # (L, 3) directional/spot direction (pointing from the light)
+    color: jax.Array      # (L, 3) color * intensity, linear
+    cone_cos: jax.Array   # (L, 2) [outer, inner] cos cutoffs for spots
+
+    @staticmethod
+    def default():
+        """Key + fill directional pair — the headless default rig."""
+        return LightBank(
+            kind=jnp.zeros(2, jnp.int32),
+            position=jnp.zeros((2, 3), jnp.float32),
+            direction=jnp.asarray(
+                [[-0.5, -0.8, -0.6], [0.7, -0.2, 0.5]], jnp.float32
+            ),
+            color=jnp.asarray([[2.6, 2.55, 2.5], [0.7, 0.75, 0.8]], jnp.float32),
+            cone_cos=jnp.zeros((2, 2), jnp.float32),
+        )
+
+    @staticmethod
+    def from_lists(kinds, positions, directions, colors, cones=None):
+        n = max(len(kinds), 1)
+        if not len(kinds):
+            return LightBank(jnp.zeros(1, jnp.int32), jnp.zeros((1, 3), jnp.float32),
+                             jnp.asarray([[0, -1, 0]], jnp.float32),
+                             jnp.zeros((1, 3), jnp.float32),
+                             jnp.zeros((1, 2), jnp.float32))
+        cones = cones if cones is not None else [(0.0, 0.0)] * n
+        return LightBank(
+            kind=jnp.asarray(np.asarray(kinds, np.int32)),
+            position=jnp.asarray(np.asarray(positions, np.float32).reshape(n, 3)),
+            direction=jnp.asarray(np.asarray(directions, np.float32).reshape(n, 3)),
+            color=jnp.asarray(np.asarray(colors, np.float32).reshape(n, 3)),
+            cone_cos=jnp.asarray(np.asarray(cones, np.float32).reshape(n, 2)),
+        )
+
+
+def _normalize(v, axis=-1):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
+
+
+def _ggx_brdf(n, v, l, albedo, metallic, roughness):
+    """Cook-Torrance GGX specular + Lambert diffuse, Smith height-correlated."""
+    h = _normalize(v + l)
+    ndl = jnp.maximum(jnp.sum(n * l, -1), 0.0)
+    ndv = jnp.maximum(jnp.sum(n * v, -1), 1e-4)
+    ndh = jnp.maximum(jnp.sum(n * h, -1), 0.0)
+    vdh = jnp.maximum(jnp.sum(v * h, -1), 0.0)
+    a = jnp.maximum(roughness * roughness, 1e-3)
+    a2 = a * a
+    d = a2 / jnp.maximum(jnp.pi * ((ndh * ndh) * (a2 - 1.0) + 1.0) ** 2, 1e-9)
+    k = (roughness + 1.0) ** 2 / 8.0
+    g = (ndv / (ndv * (1 - k) + k)) * (ndl / jnp.maximum(ndl * (1 - k) + k, 1e-9))
+    f0 = 0.04 * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
+    f = f0 + (1.0 - f0) * (1.0 - vdh[..., None]) ** 5
+    spec = d[..., None] * g[..., None] * f / jnp.maximum(4.0 * ndv * ndl, 1e-9)[..., None]
+    kd = (1.0 - f) * (1.0 - metallic[..., None])
+    return (kd * albedo / jnp.pi + spec) * ndl[..., None]
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10))
+def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extras,
+                flat, wireframe, wire_only):
+    depth, tri, bary = gbuf
+    eye, ambient, background, wire_color, wire_eps = extras
+    valid = tri >= 0
+    t = jnp.maximum(tri, 0)
+    vid = tris[t]                      # (H, W, 3)
+    p3 = positions[vid]                # (H, W, 3, 3)
+    pos = jnp.einsum("hwk,hwkc->hwc", bary, p3)
+    n_flat = _normalize(jnp.cross(p3[..., 1, :] - p3[..., 0, :],
+                                  p3[..., 2, :] - p3[..., 0, :]))
+    if flat:
+        n = n_flat
+    else:
+        n = _normalize(jnp.einsum("hwk,hwkc->hwc", bary, normals[vid]))
+    view = _normalize(eye[None, None, :] - pos)
+    # Double-sided: face the viewer (the reference renders mesh interiors too).
+    n = jnp.where(jnp.sum(n * view, -1, keepdims=True) < 0, -n, n)
+
+    obj = tri_obj[t]
+    albedo = materials.base_color[obj][..., :3]
+    metallic = materials.metallic[obj]
+    roughness = materials.roughness[obj]
+    emissive = materials.emissive[obj]
+
+    def add_light(color, i):
+        kind = lights.kind[i]
+        lpos = lights.position[i]
+        ldir = _normalize(lights.direction[i])
+        lcol = lights.color[i]
+        to_light = lpos[None, None, :] - pos
+        dist2 = jnp.maximum(jnp.sum(to_light * to_light, -1), 1e-9)
+        l_point = to_light / jnp.sqrt(dist2)[..., None]
+        l = jnp.where(kind == LIGHT_DIRECTIONAL, -ldir[None, None, :], l_point)
+        atten = jnp.where(kind == LIGHT_DIRECTIONAL, 1.0, 1.0 / dist2)
+        cd = jnp.sum(-l * ldir[None, None, :], -1)
+        outer, inner = lights.cone_cos[i, 0], lights.cone_cos[i, 1]
+        spot = jnp.clip((cd - outer) / jnp.maximum(inner - outer, 1e-6), 0.0, 1.0)
+        atten = jnp.where(kind == LIGHT_SPOT, atten * spot * spot, atten)
+        contrib = _ggx_brdf(n, view, l, albedo, metallic, roughness)
+        return color + contrib * (lcol[None, None, :] * atten[..., None]), None
+
+    color = emissive + ambient[None, None, :] * albedo
+    color, _ = jax.lax.scan(add_light, color, jnp.arange(lights.kind.shape[0]))
+
+    # Reinhard tone map + gamma 2.2 (deterministic, no exposure adaptation).
+    color = color / (1.0 + color)
+    color = jnp.power(jnp.maximum(color, 0.0), 1.0 / 2.2)
+
+    if wireframe or wire_only:
+        edge = jnp.min(bary, axis=-1) < wire_eps
+        if wire_only:
+            color = jnp.where((valid & edge)[..., None], wire_color[None, None, :],
+                              background[None, None, :])
+            return jnp.clip(color, 0.0, 1.0)
+        color = jnp.where(edge[..., None], wire_color[None, None, :], color)
+
+    color = jnp.where(valid[..., None], color, background[None, None, :])
+    return jnp.clip(color, 0.0, 1.0)
+
+
+def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
+          lights: LightBank, eye, ambient=(0.06, 0.06, 0.07),
+          background=(0.125, 0.133, 0.153), flat=False, wireframe=False,
+          wire_only=False, wire_color=(0.9, 0.65, 0.1), wire_eps=0.02):
+    """Light the G-buffer. positions/normals are world-space per-vertex arrays;
+    tri_obj maps each triangle to its object row in `materials`."""
+    tris = jnp.asarray(np.asarray(tris, np.int32).reshape(-1, 3))
+    pad = gbuf.tri.shape  # tri ids may reference padded rows; clamp via maximum above
+    del pad
+    extras = (
+        jnp.asarray(eye, jnp.float32),
+        jnp.asarray(ambient, jnp.float32),
+        jnp.asarray(background, jnp.float32),
+        jnp.asarray(wire_color, jnp.float32),
+        jnp.float32(wire_eps),
+    )
+    return _shade_impl(
+        gbuf, jnp.asarray(positions, jnp.float32), jnp.asarray(normals, jnp.float32),
+        tris, jnp.asarray(np.asarray(tri_obj, np.int32)), materials, lights, extras,
+        bool(flat), bool(wireframe), bool(wire_only),
+    )
+
+
+def vertex_normals(positions, tris) -> np.ndarray:
+    """Area-weighted smooth vertex normals (host-side, reused by exports)."""
+    positions = np.asarray(positions, np.float64)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    fn = np.cross(positions[tris[:, 1]] - positions[tris[:, 0]],
+                  positions[tris[:, 2]] - positions[tris[:, 0]])
+    out = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(out, tris[:, k], fn)
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    out = np.divide(out, norm, out=np.zeros_like(out), where=norm > 1e-20)
+    return out.astype(np.float32)

@@ -133,6 +133,32 @@ class RigidBodyComponent:
 
 
 @dataclass
+class VisualMaterial:
+    """glTF pbrMetallicRoughness factors for the renderer (reference: PBR material
+    model, README.md:85-88; GltfScene material import/export)."""
+
+    base_color: np.ndarray = field(default_factory=lambda: np.array([0.48, 0.65, 0.76, 1.0]))
+    metallic: float = 0.2
+    roughness: float = 0.7
+    emissive: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    double_sided: bool = True
+
+
+@dataclass
+class LightComponent:
+    """KHR_lights_punctual node payload (reference imports the extension,
+    README.md:93-119). Direction is the node's -Z in world after transforms; stored
+    here explicitly so headless scenes can set it without a node graph."""
+
+    kind: str = "directional"  # directional | point | spot
+    color: np.ndarray = field(default_factory=lambda: np.ones(3))
+    intensity: float = 1.0
+    range: float = 0.0  # 0 = unlimited
+    inner_cone_angle: float = 0.0
+    outer_cone_angle: float = np.pi / 4
+
+
+@dataclass
 class ExciteState:
     """Derived: live synth bookkeeping (bank slot etc.); rebuilt, never snapshotted."""
 
@@ -151,5 +177,7 @@ PERSISTENT_COMPONENTS = (
     ModalTuningComponent,
     SoundVertices,
     RigidBodyComponent,
+    VisualMaterial,
+    LightComponent,
 )
 DERIVED_COMPONENTS = (WorldTransform, ExciteState)
