@@ -30,6 +30,7 @@ import numpy as np
 
 from ..scene.components import (
     AcousticMaterialRef,
+    LightComponent,
     MeshSurface,
     ModalGainComponent,
     ModalModel,
@@ -38,6 +39,7 @@ from ..scene.components import (
     SceneNode,
     SolveSettingsComponent,
     Transform,
+    VisualMaterial,
 )
 from ..scene.registry import Registry
 
@@ -152,6 +154,7 @@ def export_gltf(r: Registry, path) -> None:
     audio_material_index: dict[tuple, int] = {}
     implicit_shapes: list = []
     implicit_shape_index: dict[tuple, int] = {}
+    punctual_lights: list = []
     physics_used = [False]
     entities = sorted(e for e in r.entities() if r.valid(e))
     for e in entities:
@@ -186,10 +189,25 @@ def export_gltf(r: Registry, path) -> None:
                     for tgt in mesh.morph_targets
                 ]
             mat = r.get(e, AcousticMaterialRef)
-            if mat is not None:
-                gltf["materials"].append(
-                    {"name": mat.name, "pbrMetallicRoughness": {"metallicFactor": 0.2, "roughnessFactor": 0.7}}
-                )
+            vm = r.get(e, VisualMaterial)
+            if vm is not None or mat is not None:
+                # pbrMetallicRoughness factors from VisualMaterial when present; an
+                # acoustic-only entity keeps the legacy preview factors.
+                if vm is None:
+                    vm = VisualMaterial()
+                entry = {
+                    "pbrMetallicRoughness": {
+                        "baseColorFactor": [float(v) for v in vm.base_color],
+                        "metallicFactor": float(vm.metallic),
+                        "roughnessFactor": float(vm.roughness),
+                    },
+                    "doubleSided": bool(vm.double_sided),
+                }
+                if np.any(np.asarray(vm.emissive) != 0):
+                    entry["emissiveFactor"] = [float(v) for v in vm.emissive]
+                if mat is not None:
+                    entry["name"] = mat.name
+                gltf["materials"].append(entry)
                 prim["material"] = len(gltf["materials"]) - 1
             mesh_entry: dict = {"primitives": [prim]}
             if mesh.morph_weights.shape[0]:
@@ -245,6 +263,25 @@ def export_gltf(r: Registry, path) -> None:
                 ))
         # KHR_physics_rigid_bodies + KHR_implicit_shapes: collider shape + motion
         # (reference export shape, GltfScene.cpp:4150-4180).
+        # KHR_lights_punctual: document-level light list + node reference.
+        lc = r.get(e, LightComponent)
+        if lc is not None:
+            light_entry: dict = {
+                "type": lc.kind,
+                "color": [float(v) for v in lc.color],
+                "intensity": float(lc.intensity),
+            }
+            if lc.range > 0:
+                light_entry["range"] = float(lc.range)
+            if lc.kind == "spot":
+                light_entry["spot"] = {
+                    "innerConeAngle": float(lc.inner_cone_angle),
+                    "outerConeAngle": float(lc.outer_cone_angle),
+                }
+            node.setdefault("extensions", {})["KHR_lights_punctual"] = {
+                "light": len(punctual_lights)
+            }
+            punctual_lights.append(light_entry)
         rb = r.get(e, RigidBodyComponent)
         if rb is not None:
             if rb.shape_kind == "mesh":
@@ -306,6 +343,9 @@ def export_gltf(r: Registry, path) -> None:
         used.append("KHR_implicit_shapes")
     if physics_used[0]:
         used.append("KHR_physics_rigid_bodies")
+    if punctual_lights:
+        doc_ext["KHR_lights_punctual"] = {"lights": punctual_lights}
+        used.append("KHR_lights_punctual")
     if doc_ext:
         gltf["extensions"] = doc_ext
         gltf["extensionsUsed"] = used
@@ -500,6 +540,18 @@ def import_gltf(path, store_dir=None) -> Registry:
             weights = np.asarray(mesh.get("weights", node.get("weights", [])), np.float64)
             r.emplace(e, MeshSurface(positions=pos, triangles=idx.reshape(-1, 3),
                                      morph_targets=targets, morph_weights=weights))
+            if "material" in prim:
+                m = gltf.get("materials", [])[prim["material"]]
+                pbr = m.get("pbrMetallicRoughness", {})
+                r.emplace(e, VisualMaterial(
+                    base_color=np.asarray(
+                        pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0]), np.float64),
+                    metallic=float(pbr.get("metallicFactor", 1.0)),
+                    roughness=float(pbr.get("roughnessFactor", 1.0)),
+                    emissive=np.asarray(m.get("emissiveFactor", [0.0, 0.0, 0.0]),
+                                        np.float64),
+                    double_sided=bool(m.get("doubleSided", False)),
+                ))
         extras = node.get("extras", {})
         ac = extras.get("MESHEDITOR_TPU_acoustic")
         if ac:
@@ -517,6 +569,23 @@ def import_gltf(path, store_dir=None) -> Registry:
         mm = extras.get("MESHEDITOR_TPU_modal")
         if mm:
             r.emplace(e, ModalModel(mm["path"]))
+
+        lref = (node.get("extensions") or {}).get("KHR_lights_punctual")
+        if lref is not None:
+            doc_lights = ((gltf.get("extensions") or {}).get("KHR_lights_punctual")
+                          or {}).get("lights", [])
+            li = lref.get("light", -1)
+            if 0 <= li < len(doc_lights):
+                ld = doc_lights[li]
+                spot = ld.get("spot", {})
+                r.emplace(e, LightComponent(
+                    kind=ld.get("type", "directional"),
+                    color=np.asarray(ld.get("color", [1.0, 1.0, 1.0]), np.float64),
+                    intensity=float(ld.get("intensity", 1.0)),
+                    range=float(ld.get("range", 0.0)),
+                    inner_cone_angle=float(spot.get("innerConeAngle", 0.0)),
+                    outer_cone_angle=float(spot.get("outerConeAngle", np.pi / 4)),
+                ))
 
         pext = (node.get("extensions") or {}).get("KHR_physics_rigid_bodies")
         if pext is not None:
