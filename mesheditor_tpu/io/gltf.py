@@ -284,11 +284,24 @@ def export_gltf(r: Registry, path) -> None:
             punctual_lights.append(light_entry)
         rb = r.get(e, RigidBodyComponent)
         if rb is not None:
-            if rb.shape_kind == "mesh":
+            if rb.shape_kind in ("mesh", "convex"):
                 # Mesh geometry references the node itself (the spec's node-geometry
                 # collider; reference maps it to a TriangleMesh, GltfScene.cpp:1680-1683).
+                # `convexHull: true` marks a convex collider over the same vertices.
                 key = None
                 shape = None
+            elif rb.shape_kind == "capsule":
+                key = ("capsule", float(rb.radius), float(rb.half_height))
+                shape = {"type": "capsule",
+                         "capsule": {"height": float(rb.half_height) * 2,
+                                     "radiusBottom": float(rb.radius),
+                                     "radiusTop": float(rb.radius)}}
+            elif rb.shape_kind == "cylinder":
+                key = ("cylinder", float(rb.radius), float(rb.half_height))
+                shape = {"type": "cylinder",
+                         "cylinder": {"height": float(rb.half_height) * 2,
+                                      "radiusBottom": float(rb.radius),
+                                      "radiusTop": float(rb.radius)}}
             elif rb.shape_kind == "box":
                 size = [float(v) * 2 for v in rb.half_extents]  # wire carries full size
                 key = ("box", *size)
@@ -303,6 +316,8 @@ def export_gltf(r: Registry, path) -> None:
                 shape = {"type": "sphere", "sphere": {"radius": float(rb.radius)}}
             if shape is None:
                 geometry = {"node": len(gltf["nodes"])}  # this node's own mesh
+                if rb.shape_kind == "convex":
+                    geometry["convexHull"] = True
             else:
                 if key not in implicit_shape_index:
                     implicit_shape_index[key] = len(implicit_shapes)
@@ -593,7 +608,8 @@ def import_gltf(path, store_dir=None) -> Registry:
             geom = (pext.get("collider") or {}).get("geometry") or {}
             si = geom.get("shape")
             if "node" in geom:
-                rb.shape_kind = "mesh"  # node-geometry collider: the node's own mesh
+                # Node-geometry collider: the node's own mesh, optionally hulled.
+                rb.shape_kind = "convex" if geom.get("convexHull") else "mesh"
             elif si is not None and 0 <= si < len(implicit_shapes):
                 s = implicit_shapes[si]
                 kind = s.get("type", "sphere")
@@ -601,6 +617,11 @@ def import_gltf(path, store_dir=None) -> Registry:
                     size = s.get("box", {}).get("size", [1.0, 1.0, 1.0])
                     rb.shape_kind = "box"
                     rb.half_extents = np.asarray(size, np.float64) / 2.0
+                elif kind in ("capsule", "cylinder"):
+                    c = s.get(kind, {})
+                    rb.shape_kind = kind
+                    rb.radius = float(c.get("radiusBottom", c.get("radiusTop", 0.5)))
+                    rb.half_height = float(c.get("height", 1.0)) / 2.0
                 elif kind == "plane":
                     p = s.get("plane", {})
                     rb.shape_kind = "plane"

@@ -11,13 +11,20 @@ import numpy as np
 
 from ..scene.components import MeshSurface, RigidBodyComponent, Transform
 from ..scene.registry import Registry
-from .types import PhysicsMotion, ShapeBox, ShapeMesh, ShapePlane, ShapeSphere
+from .types import (PhysicsMotion, ShapeBox, ShapeCapsule, ShapeConvexHull,
+                    ShapeCylinder, ShapeMesh, ShapePlane, ShapeSphere)
 from .world import PhysicsWorld
 
 
 def _shape_of(rb: RigidBodyComponent, surface: MeshSurface | None):
     if rb.shape_kind == "box":
         return ShapeBox(half_extents=tuple(float(v) for v in rb.half_extents))
+    if rb.shape_kind == "capsule":
+        return ShapeCapsule(radius=float(rb.radius), half_height=float(rb.half_height))
+    if rb.shape_kind == "cylinder":
+        return ShapeCylinder(radius=float(rb.radius), half_height=float(rb.half_height))
+    if rb.shape_kind == "convex" and surface is not None and surface.positions.shape[0]:
+        return ShapeConvexHull(points=np.asarray(surface.positions, np.float64))
     if rb.shape_kind == "plane":
         n = np.asarray(rb.plane_normal, np.float64)
         n = n / max(np.linalg.norm(n), 1e-30)

@@ -59,6 +59,34 @@ class ShapeBox:
 
 
 @dataclass(frozen=True)
+class ShapeCapsule:
+    """Capsule along local +Y: segment of `half_height` each way, swept by `radius`
+    (reference: PhysicsTypes.h shape set; also the virtual striker mallet,
+    src/audio/ContactModel.h:36-41)."""
+
+    radius: float = 0.25
+    half_height: float = 0.5
+
+
+@dataclass(frozen=True)
+class ShapeCylinder:
+    """Cylinder along local +Y. Collides through an n-gon prism hull proxy (documented
+    approximation); mass/inertia use the exact cylinder closed forms."""
+
+    radius: float = 0.5
+    half_height: float = 0.5
+    segments: int = 16
+
+
+@dataclass(eq=False)
+class ShapeConvexHull:
+    """Convex hull of a point cloud (reference: PhysicsTypes.h:92-120 ConvexHull).
+    Collides as the hull's triangulated surface (a dynamic mesh solid)."""
+
+    points: object  # (n, 3) float array, shape-local
+
+
+@dataclass(frozen=True)
 class ShapePlane:
     """Static infinite plane: normal * x = offset."""
 

@@ -23,12 +23,68 @@ from .types import (
     PhysicsMaterial,
     PhysicsMotion,
     ShapeBox,
+    ShapeCapsule,
+    ShapeConvexHull,
+    ShapeCylinder,
     ShapeMesh,
     ShapePlane,
     ShapeSphere,
     SustainedContact,
     combine,
 )
+
+
+def _hull_mesh(points) -> tuple[np.ndarray, np.ndarray]:
+    """Convex hull surface, outward-wound (the consistent-winding contract the mesh
+    contact path relies on)."""
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(points, np.float64)
+    hull = ConvexHull(pts)
+    remap = {int(v): i for i, v in enumerate(hull.vertices)}
+    verts = pts[hull.vertices]
+    tris = np.array([[remap[int(v)] for v in s] for s in hull.simplices], np.int64)
+    centroid = verts.mean(axis=0)
+    for t in tris:
+        a, b, c = verts[t]
+        if np.cross(b - a, c - a) @ ((a + b + c) / 3 - centroid) < 0:
+            t[1], t[2] = int(t[2]), int(t[1])
+    return verts, tris
+
+
+def _cylinder_hull_points(radius: float, half_height: float, segments: int) -> np.ndarray:
+    ang = 2 * np.pi * np.arange(segments) / segments
+    ring = np.stack([radius * np.cos(ang), np.zeros(segments), radius * np.sin(ang)], 1)
+    return np.concatenate([ring + [0, half_height, 0], ring + [0, -half_height, 0]])
+
+
+def _segment_closest(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1], [p2,q2] (Ericson 5.1.9)."""
+    d1, d2 = q1 - p1, q2 - p2
+    r = p1 - p2
+    a, e, f = d1 @ d1, d2 @ d2, d2 @ r
+    if a < 1e-24 and e < 1e-24:
+        return p1, p2
+    if a < 1e-24:
+        s = 0.0
+        t = np.clip(f / e, 0.0, 1.0)
+    else:
+        c = d1 @ r
+        if e < 1e-24:
+            t = 0.0
+            s = np.clip(-c / a, 0.0, 1.0)
+        else:
+            b = d1 @ d2
+            denom = a * e - b * b
+            s = np.clip((b * f - c * e) / denom, 0.0, 1.0) if denom > 1e-24 else 0.0
+            t = (b * s + f) / e
+            if t < 0:
+                t = 0.0
+                s = np.clip(-c / a, 0.0, 1.0)
+            elif t > 1:
+                t = 1.0
+                s = np.clip((b - c) / a, 0.0, 1.0)
+    return p1 + s * d1, p2 + t * d2
 
 
 def _quat_mul(a, b):
@@ -76,16 +132,26 @@ class _Body:
     inv_mass: float = 1.0
     inv_inertia_local: np.ndarray = field(default_factory=lambda: np.eye(3))
     static: bool = False
+    source_shape: object = None  # authored shape when `shape` is a collision proxy
 
 
 @dataclass
 class _Joint:
-    kind: str  # "point" | "distance"
+    kind: str  # "point" | "distance" | "hinge"
     a: "_Body"
     b: "_Body"
     anchor_a: np.ndarray  # body-local
     anchor_b: np.ndarray
     rest: float = 0.0  # distance joints
+    # Hinge extras (reference joint limit/drive defs, PhysicsTypes.h:57-86).
+    axis_a: np.ndarray | None = None   # body-local unit hinge axis
+    axis_b: np.ndarray | None = None
+    ref_a: np.ndarray | None = None    # body-local perpendiculars for angle measure
+    ref_b: np.ndarray | None = None
+    limit_min: float | None = None     # radians about the axis
+    limit_max: float | None = None
+    motor_velocity: float | None = None  # rad/s drive target
+    motor_max_torque: float = np.inf
 
 
 class PhysicsWorld:
@@ -119,27 +185,48 @@ class PhysicsWorld:
     ) -> BodyHandle:
         h = self._next
         self._next += 1
+        source_shape = shape
+        position = np.asarray(position, dtype=np.float64)
+        quat = np.asarray(quat, dtype=np.float64)
+        # Cylinders and convex hulls collide through a hull-triangulated mesh proxy
+        # (a dynamic mesh solid); inertia stays analytic where a closed form exists.
+        if isinstance(shape, ShapeCylinder):
+            verts, tris = _hull_mesh(
+                _cylinder_hull_points(shape.radius, shape.half_height, shape.segments))
+            shape = ShapeMesh(positions=verts, triangles=tris)
+        elif isinstance(shape, ShapeConvexHull):
+            verts, tris = _hull_mesh(shape.points)
+            from .mass_props import mesh_mass_properties
+
+            _, com, _ = mesh_mass_properties(verts, tris, 1000.0)
+            verts = verts - com  # dynamic mesh solids are volume-centroid-centered
+            position = position + _quat_to_mat(quat) @ com
+            shape = ShapeMesh(positions=verts, triangles=tris)
         # A mesh shape with no motion is static scenery; with motion it is a dynamic
         # solid (its positions must be centered on the volume centroid — scene_build
         # does this; mass/inertia come from the closed-mesh integrals).
         implicit_static = isinstance(shape, ShapePlane) or (
             isinstance(shape, ShapeMesh) and motion is None
+            and not isinstance(source_shape, (ShapeCylinder, ShapeConvexHull))
         )
         motion = motion or PhysicsMotion()
         b = _Body(
             handle=h, shape=shape, motion=motion, material=material, filter=filter,
             report_contacts=report_contacts,
-            pos=np.asarray(position, dtype=np.float64),
-            quat=np.asarray(quat, dtype=np.float64),
+            pos=position,
+            quat=quat,
             static=static or implicit_static,
         )
+        b.source_shape = source_shape
         if b.static or motion.is_kinematic:
             b.inv_mass = 0.0
             b.inv_inertia_local = np.zeros((3, 3))
         else:
-            mass = motion.mass if motion.mass > 0 else self._default_mass(shape)
+            mass = motion.mass if motion.mass > 0 else self._default_mass(source_shape)
             b.inv_mass = 1.0 / mass
-            b.inv_inertia_local = np.linalg.inv(self._inertia(shape, mass))
+            b.inv_inertia_local = np.linalg.inv(self._inertia(source_shape, mass)
+                                                if not isinstance(source_shape, ShapeConvexHull)
+                                                else self._inertia(shape, mass))
         self.bodies[h] = b
         return h
 
@@ -166,6 +253,42 @@ class PhysicsWorld:
                                   self._local_anchor(b, anchor_b), rest))
         return len(self.joints) - 1
 
+    def add_hinge_joint(self, ha: BodyHandle, hb: BodyHandle, world_anchor, world_axis,
+                        limit_min: float | None = None, limit_max: float | None = None,
+                        motor_velocity: float | None = None,
+                        motor_max_torque: float = np.inf) -> int:
+        """Revolute joint: anchors coincide, rotation free only about the axis, with
+        optional angle limits and a velocity-drive motor (the reference's Jolt hinge
+        with limit/drive defs, PhysicsTypes.h:57-86)."""
+        a, b = self.bodies[ha], self.bodies[hb]
+        axis = np.asarray(world_axis, np.float64)
+        axis = axis / np.linalg.norm(axis)
+        # A reference perpendicular, shared so the measured angle starts at zero.
+        alt = np.array([1.0, 0.0, 0.0]) if abs(axis[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        ref = np.cross(axis, alt)
+        ref /= np.linalg.norm(ref)
+        ra, rb = _quat_to_mat(a.quat), _quat_to_mat(b.quat)
+        self.joints.append(_Joint(
+            "hinge", a, b, self._local_anchor(a, world_anchor),
+            self._local_anchor(b, world_anchor),
+            axis_a=ra.T @ axis, axis_b=rb.T @ axis, ref_a=ra.T @ ref, ref_b=rb.T @ ref,
+            limit_min=limit_min, limit_max=limit_max,
+            motor_velocity=motor_velocity, motor_max_torque=motor_max_torque))
+        return len(self.joints) - 1
+
+    @staticmethod
+    def _hinge_angle_of(j: _Joint) -> float:
+        wa = _quat_to_mat(j.a.quat) @ j.axis_a
+        pa = _quat_to_mat(j.a.quat) @ j.ref_a
+        pb = _quat_to_mat(j.b.quat) @ j.ref_b
+        pa = pa - (pa @ wa) * wa
+        pb = pb - (pb @ wa) * wa
+        return float(np.arctan2(np.cross(pb, pa) @ wa, pa @ pb))
+
+    def hinge_angle(self, joint_index: int) -> float:
+        """Current hinge angle (radians, signed about the axis)."""
+        return self._hinge_angle_of(self.joints[joint_index])
+
     def _solve_joint(self, j: _Joint) -> None:
         a, b = j.a, j.b
         if a.inv_mass == 0 and b.inv_mass == 0:
@@ -181,13 +304,20 @@ class PhysicsWorld:
         def skew(r):
             return np.array([[0, -r[2], r[1]], [r[2], 0, -r[0]], [-r[1], r[0], 0.0]])
 
-        if j.kind == "point":
+        if j.kind in ("point", "hinge"):
             c = pa - pb
             k = (a.inv_mass + b.inv_mass) * np.eye(3) \
                 - skew(ra) @ ii_a @ skew(ra) - skew(rb) @ ii_b @ skew(rb)
             try:
                 imp = np.linalg.solve(k, -(v_rel + beta * c))
             except np.linalg.LinAlgError:
+                return
+            if j.kind == "hinge":
+                a.vel += imp * a.inv_mass
+                a.ang += ii_a @ np.cross(ra, imp)
+                b.vel -= imp * b.inv_mass
+                b.ang -= ii_b @ np.cross(rb, imp)
+                self._solve_hinge_angular(j, ii_a, ii_b, beta)
                 return
         else:  # distance
             d = pa - pb
@@ -206,6 +336,54 @@ class PhysicsWorld:
         b.vel -= imp * b.inv_mass
         b.ang -= ii_b @ np.cross(rb, imp)
 
+    def _solve_hinge_angular(self, j: _Joint, ii_a, ii_b, beta) -> None:
+        """Hinge angular block: align the two body axes (2 locked rotational dof),
+        then the limit/motor 1-dof impulses about the free axis. Per-iteration torque
+        clamping approximates the motor's max-torque budget."""
+        a, b = j.a, j.b
+        wa = _quat_to_mat(a.quat) @ j.axis_a
+        wb = _quat_to_mat(b.quat) @ j.axis_b
+        k_ang = ii_a + ii_b
+        w_rel = a.ang - b.ang
+
+        def apply_ang(l_imp):
+            a.ang += ii_a @ l_imp
+            b.ang -= ii_b @ l_imp
+
+        # Axis alignment: drive the cross-product error and the off-axis relative
+        # angular velocity to zero, projected off the free axis.
+        err = np.cross(wa, wb)
+        perp = np.eye(3) - np.outer(wa, wa)
+        rhs = -(perp @ w_rel + beta * err)
+        try:
+            l_imp = perp @ np.linalg.solve(k_ang + 1e-12 * np.eye(3), rhs)
+        except np.linalg.LinAlgError:
+            return
+        apply_ang(l_imp)
+
+        k_axis = float(wa @ k_ang @ wa)
+        if k_axis <= 0:
+            return
+        w_rel = a.ang - b.ang
+        if j.limit_min is not None or j.limit_max is not None:
+            angle = self._hinge_angle_of(j)
+            c = 0.0
+            if j.limit_max is not None and angle > j.limit_max:
+                c = angle - j.limit_max
+            elif j.limit_min is not None and angle < j.limit_min:
+                c = angle - j.limit_min
+            if c != 0.0:
+                s = -(w_rel @ wa + beta * c) / k_axis
+                # One-sided: the limit only pushes back into the range.
+                if (c > 0 and s < 0) or (c < 0 and s > 0):
+                    apply_ang(s * wa)
+                    w_rel = a.ang - b.ang
+        if j.motor_velocity is not None:
+            s = (j.motor_velocity - w_rel @ wa) / k_axis
+            max_s = j.motor_max_torque * self.dt
+            s = float(np.clip(s, -max_s, max_s))
+            apply_ang(s * wa)
+
     @staticmethod
     def _default_mass(shape) -> float:
         if isinstance(shape, ShapeSphere):
@@ -213,6 +391,16 @@ class PhysicsWorld:
         if isinstance(shape, ShapeBox):
             hx, hy, hz = shape.half_extents
             return 1000.0 * 8 * hx * hy * hz
+        if isinstance(shape, ShapeCapsule):
+            r, h = shape.radius, shape.half_height
+            return 1000.0 * (np.pi * r * r * 2 * h + 4 / 3 * np.pi * r**3)
+        if isinstance(shape, ShapeCylinder):
+            return 1000.0 * np.pi * shape.radius**2 * 2 * shape.half_height
+        if isinstance(shape, ShapeConvexHull):
+            from .mass_props import mesh_mass_properties
+
+            verts, tris = _hull_mesh(shape.points)
+            return mesh_mass_properties(verts, tris, 1000.0)[0]
         if isinstance(shape, ShapeMesh):
             from .mass_props import mesh_mass_properties
 
@@ -233,6 +421,23 @@ class PhysicsWorld:
                     mass / 3 * (hx**2 + hy**2),
                 ]
             )
+        if isinstance(shape, ShapeCapsule):
+            # Cylinder core + two hemispheres displaced h from center (Jolt/Bullet
+            # closed forms), density-split by volume.
+            r, h = shape.radius, shape.half_height
+            vc = np.pi * r * r * 2 * h
+            vs = 4 / 3 * np.pi * r**3
+            mc = mass * vc / (vc + vs)
+            ms = mass * vs / (vc + vs)
+            iy = mc * r * r / 2 + ms * 2 * r * r / 5
+            ix = mc * (3 * r * r + 4 * h * h) / 12 + ms * (
+                2 * r * r / 5 + h * h + 3 * h * r / 4
+            )
+            return np.diag([ix, iy, ix])
+        if isinstance(shape, ShapeCylinder):
+            r, h = shape.radius, shape.half_height
+            ix = mass * (3 * r * r + 4 * h * h) / 12
+            return np.diag([ix, mass * r * r / 2, ix])
         if isinstance(shape, ShapeMesh):
             from .mass_props import mesh_mass_properties
 
@@ -286,6 +491,16 @@ class PhysicsWorld:
                             if dist < 0:
                                 contacts.append((a, b, corner, n, -dist))
                 return contacts
+            if isinstance(sa, ShapeCapsule):
+                # Both cap spheres against the plane (two-point manifold keeps a
+                # lying capsule from rocking).
+                p0, p1 = self._capsule_ends(a)
+                out = []
+                for p in (p0, p1):
+                    dist = p @ n - sb.offset - sa.radius
+                    if dist < 0:
+                        out.append((a, b, p - n * sa.radius, n, -dist))
+                return out
             if isinstance(sa, ShapeMesh):
                 # Dynamic solid vs floor: penetrating vertices, deepest 8 (a bounded
                 # manifold keeps the solver cost independent of tessellation).
@@ -309,6 +524,25 @@ class PhysicsWorld:
             return self._sphere_box(a, b)
         if isinstance(sa, ShapeBox) and isinstance(sb, ShapeSphere):
             return self._sphere_box(b, a)
+        if isinstance(sa, ShapeCapsule) and isinstance(sb, ShapeSphere):
+            return self._capsule_sphere(a, b)
+        if isinstance(sa, ShapeSphere) and isinstance(sb, ShapeCapsule):
+            return self._capsule_sphere(b, a)
+        if isinstance(sa, ShapeCapsule) and isinstance(sb, ShapeCapsule):
+            p0, p1 = self._capsule_ends(a)
+            q0, q1 = self._capsule_ends(b)
+            ca, cb = _segment_closest(p0, p1, q0, q1)
+            d = ca - cb
+            dist = float(np.linalg.norm(d))
+            rsum = sa.radius + sb.radius
+            if 1e-12 < dist < rsum:
+                n = d / dist
+                return [(a, b, cb + n * sb.radius, n, rsum - dist)]
+            return []
+        if isinstance(sa, ShapeCapsule) and isinstance(sb, ShapeBox):
+            return self._capsule_box(a, b)
+        if isinstance(sa, ShapeBox) and isinstance(sb, ShapeCapsule):
+            return self._capsule_box(b, a)
         if isinstance(sb, ShapeMesh) and not isinstance(sa, ShapeMesh):
             return self._against_mesh(a, b)
         if isinstance(sa, ShapeMesh) and not isinstance(sb, ShapeMesh):
@@ -421,6 +655,17 @@ class PhysicsWorld:
             hit = query(body.pos, body.shape.radius)
             if hit is not None:
                 out.append((body, mesh, hit[0], hit[1], hit[2]))
+        elif isinstance(body.shape, ShapeCapsule):
+            # Sampled sphere probes along the core segment (bounded manifold).
+            p0, p1 = self._capsule_ends(body)
+            best = {}
+            for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+                hit = query(p0 + t * (p1 - p0), body.shape.radius)
+                if hit is not None:
+                    key = round(t * 4)
+                    best[key] = hit
+            hits = sorted(best.values(), key=lambda h: -h[2])[:2]
+            out.extend((body, mesh, h[0], h[1], h[2]) for h in hits)
         elif isinstance(body.shape, ShapeBox):
             rb = _quat_to_mat(body.quat)
             he = np.asarray(body.shape.half_extents)
@@ -446,6 +691,63 @@ class PhysicsWorld:
             hits.sort(key=lambda h: -h[2])
             out.extend((body, mesh, h[0], h[1], h[2]) for h in hits[:8])
         return out
+
+    def _capsule_ends(self, b: _Body) -> tuple[np.ndarray, np.ndarray]:
+        axis = _quat_to_mat(b.quat)[:, 1]
+        return (b.pos - axis * b.shape.half_height, b.pos + axis * b.shape.half_height)
+
+    def _capsule_sphere(self, cap: _Body, sph: _Body):
+        p0, p1 = self._capsule_ends(cap)
+        c, _ = _segment_closest(p0, p1, sph.pos, sph.pos)
+        d = c - sph.pos
+        dist = float(np.linalg.norm(d))
+        rsum = cap.shape.radius + sph.shape.radius
+        if 1e-12 < dist < rsum:
+            n = d / dist
+            return [(cap, sph, sph.pos + n * sph.shape.radius, n, rsum - dist)]
+        return []
+
+    def _capsule_box(self, cap: _Body, box: _Body):
+        """Closest segment point to the box by ternary search (distance to a convex
+        set along a line is convex in the parameter), then a sphere-box contact there."""
+        p0, p1 = self._capsule_ends(cap)
+        r = _quat_to_mat(box.quat)
+        he = np.asarray(box.shape.half_extents)
+
+        def dist_at(t):
+            p = p0 + t * (p1 - p0)
+            local = r.T @ (p - box.pos)
+            return float(np.linalg.norm(local - np.clip(local, -he, he)))
+
+        lo, hi = 0.0, 1.0
+        for _ in range(48):
+            m1 = lo + (hi - lo) / 3
+            m2 = hi - (hi - lo) / 3
+            if dist_at(m1) <= dist_at(m2):
+                hi = m2
+            else:
+                lo = m1
+        t = 0.5 * (lo + hi)
+        p = p0 + t * (p1 - p0)
+        local = r.T @ (p - box.pos)
+        closest = np.clip(local, -he, he)
+        d = local - closest
+        dist = float(np.linalg.norm(d))
+        if dist >= cap.shape.radius:
+            return []
+        if dist > 1e-12:
+            n = r @ (d / dist)
+            return [(cap, box, box.pos + r @ closest, n, cap.shape.radius - dist)]
+        # Segment point inside the box: push out along the face of least penetration.
+        pen = he - np.abs(local)
+        ax = int(np.argmin(pen))
+        sign = 1.0 if local[ax] >= 0 else -1.0
+        n_local = np.zeros(3)
+        n_local[ax] = sign
+        surf = local.copy()
+        surf[ax] = sign * he[ax]
+        return [(cap, box, box.pos + r @ surf, r @ n_local,
+                 cap.shape.radius + float(pen[ax]))]
 
     def _sphere_box(self, s: _Body, box: _Body):
         r = _quat_to_mat(box.quat)

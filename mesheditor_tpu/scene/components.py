@@ -119,8 +119,11 @@ class RigidBodyComponent:
     and the glTF roundtrip stay field-for-field. A body with no motion (is_dynamic
     False) is static; mass <= 0 derives from shape volume."""
 
-    shape_kind: str = "sphere"  # sphere | box | plane | mesh (the entity's MeshSurface)
+    # sphere | box | capsule | cylinder | plane | mesh | convex
+    # (mesh/convex use the entity's MeshSurface; convex takes its convex hull)
+    shape_kind: str = "sphere"
     radius: float = 0.5
+    half_height: float = 0.5  # capsule/cylinder half-height along local Y
     half_extents: np.ndarray = field(default_factory=lambda: np.full(3, 0.5))
     plane_normal: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0, 0.0]))
     plane_offset: float = 0.0
