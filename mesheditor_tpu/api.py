@@ -54,10 +54,34 @@ def solve_surface(
     cancelled=None,
     progress=None,
 ) -> ModalResult:
-    """The full solve-input pipeline: simplify -> tetrahedralize -> FEM modal solve."""
+    """The full solve-input pipeline: simplify -> tetrahedralize -> FEM modal solve.
+
+    Tetrahedralization prefers the native conforming-Delaunay mesher (surface vertices
+    and skin preserved exactly; `settings.quality_tets` enables circumradius/edge <= 2
+    refinement, the reference's optional -q mode, Tetrahedralize.h:18-21) and falls
+    back to the voxel mesher where the native library is unavailable."""
+    from . import profile
+
     if settings.solve_resolution < 1.0:
-        positions, tris = simplify_surface(positions, tris, settings.solve_resolution)
-    tets = generate_tets(positions, tris, resolution=tet_resolution)
+        with profile.scope("solve/simplify"):
+            positions, tris = simplify_surface(positions, tris,
+                                               settings.solve_resolution)
+    tets = None
+    with profile.scope("solve/tetrahedralize"):
+        try:
+            from .mesh.cdt import generate_tets_delaunay, native_available
+
+            if native_available():
+                lo = np.asarray(positions, np.float64).min(axis=0)
+                hi = np.asarray(positions, np.float64).max(axis=0)
+                h = float((hi - lo).max()) / max(tet_resolution, 1)
+                tets = generate_tets_delaunay(
+                    positions, tris, lattice_h=h,
+                    quality_bound=2.0 if settings.quality_tets else 0.0)
+        except Exception:
+            tets = None
+        if tets is None:
+            tets = generate_tets(positions, tris, resolution=tet_resolution)
     if excite_positions is None:
         # Evenly spaced surface vertices, as the reference picks when none are assigned
         # (AudioSystem.cpp:953-957).
@@ -69,9 +93,11 @@ def solve_surface(
         num_modes=settings.num_modes,
         num_fem_modes=max(settings.num_modes + 15, settings.num_modes * 3 // 2),
     )
-    return mesh2modes(
-        tets, material, excite_positions, baked_scale, config, reuse, cancelled, progress
-    )
+    with profile.scope("solve/mesh2modes"):
+        return mesh2modes(
+            tets, material, excite_positions, baked_scale, config, reuse, cancelled,
+            progress
+        )
 
 
 def make_synth(

@@ -34,6 +34,7 @@ def _load():
         ctypes.POINTER(ctypes.c_double), ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
         ctypes.c_double,
+        ctypes.c_double,
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint64),
@@ -51,10 +52,13 @@ def native_available() -> bool:
 
 
 def generate_tets_delaunay(
-    positions: np.ndarray, tris: np.ndarray, lattice_h: float = 0.0
+    positions: np.ndarray, tris: np.ndarray, lattice_h: float = 0.0,
+    quality_bound: float = 0.0
 ) -> TetMesh:
     """Tet-mesh the interior of a closed surface; surface vertex ids are preserved.
-    `lattice_h` is the interior point spacing (0 picks bbox/16)."""
+    `lattice_h` is the interior point spacing (0 picks bbox/16). `quality_bound` > 0
+    enables Delaunay quality refinement to circumradius/shortest-edge <= bound (the
+    reference's optional -q refinement, Tetrahedralize.h:18-21; 2.0 is its default)."""
     lib = _load()
     pts = np.ascontiguousarray(positions, dtype=np.float64).reshape(-1, 3)
     tt = np.ascontiguousarray(tris, dtype=np.uint32).reshape(-1, 3)
@@ -64,7 +68,7 @@ def generate_tets_delaunay(
     p_pts = pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     p_tris = tt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     rc = lib.tetmesh_delaunay(
-        p_pts, pts.shape[0], p_tris, tt.shape[0], lattice_h,
+        p_pts, pts.shape[0], p_tris, tt.shape[0], lattice_h, quality_bound,
         ctypes.byref(scale), None, ctypes.byref(ntets), None, ctypes.byref(npts),
     )
     if rc != 0:
@@ -76,7 +80,7 @@ def generate_tets_delaunay(
     cap_t = ctypes.c_uint64(ntets.value)
     cap_p = ctypes.c_uint64(npts.value)
     rc = lib.tetmesh_delaunay(
-        p_pts, pts.shape[0], p_tris, tt.shape[0], lattice_h,
+        p_pts, pts.shape[0], p_tris, tt.shape[0], lattice_h, quality_bound,
         ctypes.byref(scale),
         out_tets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), ctypes.byref(cap_t),
         out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), ctypes.byref(cap_p),

@@ -143,23 +143,34 @@ class SceneRenderer:
         ss = max(int(settings.supersample), 1)
         self._rw, self._rh = settings.width * ss, settings.height * ss
         mvp = view_projection(camera, settings.width, settings.height)
+        from .. import profile
+
         self.clip = np.asarray(project_points(mvp, batch.positions))
-        self.gbuf: GBuffer = rasterize(
-            self.clip, batch.triangles, self._rw, self._rh, chunk=settings.chunk
-        )
+        with profile.scope("render/rasterize"):
+            self.gbuf: GBuffer = rasterize(
+                self.clip, batch.triangles, self._rw, self._rh, chunk=settings.chunk
+            )
+            if profile.enabled:
+                import jax
+
+                jax.block_until_ready(self.gbuf.depth)
 
     def image(self) -> np.ndarray:
+        from .. import profile
+
         s = self.settings
-        img = shade(
-            self.gbuf, self.batch.positions, self.batch.normals, self.batch.triangles,
-            self.batch.tri_obj, self.batch.materials, self.batch.lights,
-            eye=np.asarray(self.camera.eye, np.float32),
-            ambient=s.ambient, background=s.background,
-            flat=s.mode == "flat",
-            wireframe=s.mode == "wireframe",
-            wire_only=s.mode == "wireframe_only",
-        )
-        img = np.asarray(img)
+        with profile.scope("render/shade"):
+            img = shade(
+                self.gbuf, self.batch.positions, self.batch.normals,
+                self.batch.triangles,
+                self.batch.tri_obj, self.batch.materials, self.batch.lights,
+                eye=np.asarray(self.camera.eye, np.float32),
+                ambient=s.ambient, background=s.background,
+                flat=s.mode == "flat",
+                wireframe=s.mode == "wireframe",
+                wire_only=s.mode == "wireframe_only",
+            )
+            img = np.asarray(img)
         ss = max(int(s.supersample), 1)
         if ss > 1:
             img = img.reshape(s.height, ss, s.width, ss, 3).mean(axis=(1, 3))

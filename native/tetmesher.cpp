@@ -358,6 +358,7 @@ int tetmesh_delaunay(
     const double *points, u64 npoints,
     const u32 *tris, u64 ntris,
     double lattice_h,          // interior lattice spacing; <= 0 picks bbox/16
+    double quality_bound,      // circumradius/shortest-edge refinement bound; <= 0 off
     double *work_scale,        // out: jitter scale used (diagnostics)
     u32 *out_tets,             // (max_tets, 4) or nullptr for counting
     u64 *inout_ntets,          // in: capacity; out: count
@@ -383,12 +384,31 @@ int tetmesh_delaunay(
     inside.build(points, npoints, tris, ntris);
 
     // Vertex set: surface points first (ids preserved), then interior lattice points.
+    // With quality refinement on, lattice points hugging the skin are dropped (their
+    // clearance probed with parity tests): the surface/lattice interface is where the
+    // sliver tets form, and spacing the interior away from the skin prevents them at
+    // the source (the biggest single quality lever for lattice-seeded Delaunay).
     std::vector<double> all(points, points + 3 * npoints);
     const double jy = 0.12345e-4 * h, jz = 0.54321e-4 * h;  // ray-degeneracy nudge
+    const double clearance = quality_bound > 0 ? 0.45 * h : 0.0;
+    auto has_clearance = [&](double x, double y, double z) {
+        if (clearance <= 0) return true;
+        static const double D[14][3] = {
+            {1, 0, 0}, {-1, 0, 0}, {0, 1, 0}, {0, -1, 0}, {0, 0, 1}, {0, 0, -1},
+            {0.5774, 0.5774, 0.5774}, {-0.5774, 0.5774, 0.5774},
+            {0.5774, -0.5774, 0.5774}, {0.5774, 0.5774, -0.5774},
+            {-0.5774, -0.5774, 0.5774}, {-0.5774, 0.5774, -0.5774},
+            {0.5774, -0.5774, -0.5774}, {-0.5774, -0.5774, -0.5774}};
+        for (const auto &d : D)
+            if (!inside.inside(x + clearance * d[0], y + jy + clearance * d[1],
+                               z + jz + clearance * d[2]))
+                return false;
+        return true;
+    };
     for (double x = lo.x + 0.5 * h; x < hi.x; x += h)
         for (double y = lo.y + 0.5 * h; y < hi.y; y += h)
             for (double z = lo.z + 0.5 * h; z < hi.z; z += h)
-                if (inside.inside(x, y + jy, z + jz)) {
+                if (inside.inside(x, y + jy, z + jz) && has_clearance(x, y, z)) {
                     all.push_back(x);
                     all.push_back(y);
                     all.push_back(z);
@@ -417,25 +437,26 @@ int tetmesh_delaunay(
     // split constraint is replaced by its sub-triangles and the loop re-checks, a few
     // rounds at most. Steiner points append after the lattice points, so surface
     // vertex ids stay preserved for the caller.
-    {
-        std::vector<std::array<u32, 3>> constraints(ntris);
-        for (u64 i = 0; i < ntris; ++i)
-            constraints[i] = {tris[3 * i], tris[3 * i + 1], tris[3 * i + 2]};
-        std::unordered_map<u64, u32> edge_steiner;  // sorted edge -> steiner vertex id
-        auto ekey = [](u32 a, u32 b) {
-            if (a > b) std::swap(a, b);
-            return ((u64)a << 32) | b;
-        };
-        auto add_point = [&](double x, double y, double z) -> u32 {
-            u32 id = (u32)(all.size() / 3);
-            all.push_back(x); all.push_back(y); all.push_back(z);
-            const double jx = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
-            const double jy2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
-            const double jz2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
-            dl.pts.push_back({x + jx, y + jy2, z + jz2});
-            dl.insert(4 + id);
-            return id;
-        };
+    std::vector<std::array<u32, 3>> constraints(ntris);
+    for (u64 i = 0; i < ntris; ++i)
+        constraints[i] = {tris[3 * i], tris[3 * i + 1], tris[3 * i + 2]};
+    std::unordered_map<u64, u32> edge_steiner;  // sorted edge -> steiner vertex id
+    auto ekey = [](u32 a, u32 b) {
+        if (a > b) std::swap(a, b);
+        return ((u64)a << 32) | b;
+    };
+    auto add_point = [&](double x, double y, double z) -> u32 {
+        u32 id = (u32)(all.size() / 3);
+        all.push_back(x); all.push_back(y); all.push_back(z);
+        const double jx = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+        const double jy2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+        const double jz2 = ((double)(splitmix(seed) >> 11) / 9007199254740992.0 - 0.5) * jitter;
+        dl.pts.push_back({x + jx, y + jy2, z + jz2});
+        dl.insert(4 + id);
+        return id;
+    };
+    auto recover = [&]() {
+        const u64 entry_points = all.size() / 3;  // runaway guard is per-invocation
         for (int round = 0; round < 6; ++round) {
             // Face and edge sets of the live triangulation (surface-id space).
             std::unordered_map<u64, char> faces;
@@ -513,7 +534,80 @@ int tetmesh_delaunay(
             }
             constraints.swap(next);
             if (!any_split) break;
-            if (all.size() / 3 > nall + 4 * ntris) break;  // runaway guard
+            if (all.size() / 3 > entry_points + 4 * ntris) break;  // runaway guard
+        }
+    };
+    recover();
+
+    // ---- Quality refinement (Delaunay refinement with circumcenter Steiner points) ----
+    // The reference refines to circumradius/shortest-edge <= 2 when requested
+    // (Tetrahedralize.h:18-21, refinement at Tetrahedralize.cpp:9528). Interior bad
+    // tets get their circumcenter inserted when it falls strictly inside the domain
+    // (encroachment near the skin is avoided by the inside test plus a surface-distance
+    // margin); boundary recovery re-runs after each pass so the skin stays conforming.
+    if (quality_bound > 0) {
+        const u64 budget = 3 * (all.size() / 3) + 20000;
+        for (int pass = 0; pass < 8; ++pass) {
+            struct BadTet { double ratio; V3 cc; double r; };
+            std::vector<BadTet> bad;
+            for (const Tet &t : dl.tets) {
+                if (!t.alive) continue;
+                if (t.v[0] < 4 || t.v[1] < 4 || t.v[2] < 4 || t.v[3] < 4) continue;
+                V3 p[4];
+                for (int k = 0; k < 4; ++k) {
+                    const u32 id = t.v[k] - 4;
+                    p[k] = {all[3 * id], all[3 * id + 1], all[3 * id + 2]};
+                }
+                const V3 cen = (p[0] + p[1] + p[2] + p[3]) * 0.25;
+                if (!inside.inside(cen.x, cen.y + jy, cen.z + jz)) continue;
+                double lmin2 = 1e300;
+                for (int i = 0; i < 4; ++i)
+                    for (int j = i + 1; j < 4; ++j)
+                        lmin2 = std::min(lmin2, norm2(p[i] - p[j]));
+                if (!(lmin2 > 0)) continue;
+                // Circumcenter: 2(b-a)·c = |b|^2-|a|^2 for b in {1,2,3} (Cramer).
+                const V3 ab = p[1] - p[0], ac = p[2] - p[0], ad = p[3] - p[0];
+                const double det = 2.0 * dot(ab, cross(ac, ad));
+                const double l2 = std::max({norm2(ab), norm2(ac), norm2(ad)});
+                if (std::fabs(det) < 1e-9 * l2 * std::sqrt(l2)) continue;  // near-flat
+                const double rb = norm2(ab), rc = norm2(ac), rd = norm2(ad);
+                const V3 num = cross(ac, ad) * rb + cross(ad, ab) * rc + cross(ab, ac) * rd;
+                const V3 cc = p[0] + num * (1.0 / det);
+                const double r = std::sqrt(norm2(cc - p[0]));
+                const double ratio = r / std::sqrt(lmin2);
+                if (ratio > quality_bound) bad.push_back({ratio, cc, r});
+            }
+            if (bad.empty()) break;
+            std::sort(bad.begin(), bad.end(),
+                      [](const BadTet &x, const BadTet &y) { return x.ratio > y.ratio; });
+            // Batched insertion goes stale (a kill by an earlier insert leaves later
+            // circumcenters floating); enforce spacing between this pass's inserts so
+            // stale candidates cannot create near-duplicate vertices and fresh slivers.
+            std::vector<std::pair<V3, double>> placed;  // point, exclusion radius^2
+            int inserted = 0;
+            auto try_place = [&](const V3 &p, double excl2) {
+                for (const auto &q : placed)
+                    if (norm2(p - q.first) < std::min(excl2, q.second)) return false;
+                add_point(p.x, p.y, p.z);
+                placed.push_back({p, excl2});
+                ++inserted;
+                return true;
+            };
+            for (const BadTet &bt : bad) {
+                if (all.size() / 3 >= budget || inserted >= 512) break;
+                // Classic Delaunay refinement: the circumcenter, when it stays in the
+                // domain with clearance and is not crowded by this pass's earlier
+                // inserts. Boundary-offending tets (center outside or hugging the
+                // skin) are left to the carve + FEM degenerate filter — interior
+                // sinks and edge splits both measurably worsen the skin interface.
+                if (bt.r <= 0.25 * diag &&
+                    inside.inside(bt.cc.x, bt.cc.y + jy, bt.cc.z + jz) &&
+                    has_clearance(bt.cc.x, bt.cc.y, bt.cc.z))
+                    try_place(bt.cc, 0.25 * bt.r * bt.r);
+            }
+            if (!inserted) break;
+            recover();
+            if (all.size() / 3 >= budget) break;
         }
     }
     const u64 nfinal = all.size() / 3;

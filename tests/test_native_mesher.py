@@ -75,3 +75,74 @@ class TestBoundaryRecovery:
             vol = np.abs(np.einsum("ij,ij->i", v1 - v0,
                                    np.cross(v2 - v0, v3 - v0))).sum() / 6
             assert abs(vol / poly - 1.0) < 1e-9, (vol, poly)
+
+
+class TestQualityRefinement:
+    """The optional -q mode (reference: circumradius/edge <= 2 refinement,
+    Tetrahedralize.h:18-21): quality must improve on curved skins, the surface must
+    stay exactly preserved, and the result must remain deterministic."""
+
+    def _ratios(self, tm):
+        p, t = tm.points, tm.tets.astype(np.int64)
+        v = p[t]
+        ab, ac, ad = v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]
+        det = 2 * np.einsum("ij,ij->i", ab, np.cross(ac, ad))
+        ok = np.abs(det) > 1e-30
+        rb = (ab ** 2).sum(1)
+        rc = (ac ** 2).sum(1)
+        rd = (ad ** 2).sum(1)
+        num = (np.cross(ac, ad) * rb[:, None] + np.cross(ad, ab) * rc[:, None]
+               + np.cross(ab, ac) * rd[:, None])
+        cc = v[ok, 0] + num[ok] / det[ok, None]
+        radius = np.linalg.norm(cc - v[ok, 0], axis=1)
+        vo = v[ok]
+        lmin = np.full(int(ok.sum()), np.inf)
+        for i in range(4):
+            for j in range(i + 1, 4):
+                lmin = np.minimum(lmin, np.linalg.norm(vo[:, i] - vo[:, j], axis=1))
+        good = lmin > 0
+        return radius[good] / lmin[good]
+
+    def test_quality_improves_on_curved_surface(self):
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.mesh.cdt import generate_tets_delaunay
+
+        pos, tris = icosphere_surface(2)
+        base = self._ratios(generate_tets_delaunay(pos, tris))
+        refined = self._ratios(generate_tets_delaunay(pos, tris, quality_bound=2.0))
+        assert (refined > 2.0).mean() < 0.5 * max((base > 2.0).mean(), 1e-9)
+
+    def test_surface_vertices_preserved_under_quality(self):
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.mesh.cdt import generate_tets_delaunay
+
+        pos, tris = icosphere_surface(1)
+        tm = generate_tets_delaunay(pos, tris, quality_bound=2.0)
+        assert np.allclose(tm.points[: pos.shape[0]], pos)
+
+    def test_quality_deterministic(self):
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.mesh.cdt import generate_tets_delaunay
+
+        pos, tris = icosphere_surface(1)
+        a = generate_tets_delaunay(pos, tris, quality_bound=2.0)
+        b = generate_tets_delaunay(pos, tris, quality_bound=2.0)
+        assert np.array_equal(a.tets, b.tets) and np.array_equal(a.points, b.points)
+
+    def test_boundary_still_filled_under_quality(self):
+        """Refinement must not break the conforming skin: total tet volume still
+        matches the enclosed surface volume."""
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.mesh.cdt import generate_tets_delaunay
+
+        pos, tris = icosphere_surface(2)
+        tm = generate_tets_delaunay(pos, tris, quality_bound=2.0)
+        v = tm.points[tm.tets.astype(np.int64)]
+        vol6 = np.einsum("ij,ij->i", v[:, 1] - v[:, 0],
+                         np.cross(v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]))
+        tet_vol = np.abs(vol6).sum() / 6.0
+        # Surface volume by divergence theorem.
+        s = pos[tris.astype(np.int64)]
+        surf_vol = np.einsum("ij,ij->i", s[:, 0],
+                             np.cross(s[:, 1], s[:, 2])).sum() / 6.0
+        assert abs(tet_vol - abs(surf_vol)) < 2e-3 * abs(surf_vol)

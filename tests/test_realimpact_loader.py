@@ -125,10 +125,15 @@ class TestHarness:
         from mesheditor_tpu.types import ModalSolveSettings
 
         # Re-author the fixture's mesh at a solvable scale (15 cm bowl-sized) with the
-        # impact positions sitting on it, as the real dataset's do.
+        # impact positions sitting on it, as the real dataset's do. Anisotropic scale
+        # breaks the sphere's modal degeneracy — degenerate pairs merge into one
+        # spectral bump whose apex sits between the two frequencies, which would make
+        # the strict per-peak cent assertions below measure the geometry, not the
+        # harness.
         pts, tris = icosphere_surface(1)
-        save_obj(fake_dataset / "preprocessed" / "transformed.obj", pts * 0.15, tris)
-        vxyz = np.repeat(pts[:NUM_IMPACT_VERTICES] * 0.15, NUM_LISTENER_POINTS, axis=0)
+        scale3 = np.array([0.15, 0.12, 0.095])
+        save_obj(fake_dataset / "preprocessed" / "transformed.obj", pts * scale3, tris)
+        vxyz = np.repeat(pts[:NUM_IMPACT_VERTICES] * scale3, NUM_LISTENER_POINTS, axis=0)
         np.save(fake_dataset / "preprocessed" / "vertexXYZ.npy", vxyz)
 
         scan = load_realimpact_scan(fake_dataset)
@@ -138,14 +143,25 @@ class TestHarness:
                                excite_positions=scan.impact_positions,
                                settings=settings, tet_resolution=6)
         freqs = np.asarray(result.modes.freqs, np.float64)
-        freqs = freqs[freqs < 20_000.0]
         assert freqs.size > 0
+        # A real recording only contains the modes the strike couples to: weight each
+        # mode by its y-shape at the struck vertex (the harness strikes along +y) and
+        # keep the audible ones, per vertex — otherwise uncoupled partials in the
+        # synthetic "recording" have no rendered partner by construction.
+        shapes = np.asarray(result.modes.shapes, np.float64)  # (expos, modes, 3)
+        expos_of = np.asarray(result.sample_point_of_excitation, np.int64)
         sr, n = 48_000.0, 24_000
         t = np.arange(n) / sr
-        ring = sum(np.exp(-t * (4 + k)) * np.sin(2 * np.pi * f * t)
-                   for k, f in enumerate(freqs))
-        rows = np.tile(ring.astype(np.float32),
-                       (NUM_LISTENER_POINTS * NUM_IMPACT_VERTICES, 1))
+        rows = np.zeros((NUM_LISTENER_POINTS * NUM_IMPACT_VERTICES, n), np.float32)
+        for v in range(NUM_IMPACT_VERTICES):
+            amp = np.abs(shapes[int(expos_of[min(v, expos_of.size - 1)]), :, 1])
+            amp = np.where(amp > 0.1 * amp.max(), amp, 0.0)
+            t60s = np.asarray(result.modes.t60s, np.float64)
+            rates = 6.9078 / np.maximum(t60s, 1e-3)  # ln(1000)/T60: the render's decay
+            ring = sum(a * np.exp(-t * r) * np.sin(2 * np.pi * f * t)
+                       for (f, a, r) in zip(freqs, amp, rates) if a > 0)
+            for lp in range(NUM_LISTENER_POINTS):
+                rows[lp + NUM_LISTENER_POINTS * v] = ring.astype(np.float32)
         np.save(fake_dataset / "preprocessed" / "deconvolved_0db.npy", rows)
 
         report = compare_scan(fake_dataset, seconds=0.5, settings=settings,
