@@ -269,13 +269,22 @@ def lobpcg_pencil(
     iterations = 0
     res_norm = None
 
+    from .. import profile
+
     for it in range(max_iters):
         have_p = jnp.asarray(it > 0)
-        s, ks, ms, a_d, b32, res_norm = step_stage(
-            op_state, x, kx, mx, theta, pdir, kp, mp, have_p
-        )
+        with profile.scope("eig/step_stage"):
+            s, ks, ms, a_d, b32, res_norm = step_stage(
+                op_state, x, kx, mx, theta, pdir, kp, mp, have_p
+            )
+            if profile.enabled:
+                jax.block_until_ready(a_d)
         ops += 2 + 2 * inner_iters
-        theta_np, c_np = _solve_reduced(np.asarray(a_d), np.asarray(b32).astype(np.float64), p)
+        with profile.scope("eig/transfer_down"):
+            a_h = np.asarray(a_d)
+            b_h = np.asarray(b32).astype(np.float64)
+        with profile.scope("eig/host_rr"):
+            theta_np, c_np = _solve_reduced(a_h, b_h, p)
         iterations = it + 1
         lam = theta_np
         if not np.isfinite(lam[:nev]).all():
@@ -284,7 +293,10 @@ def lobpcg_pencil(
         c_wp = c_np.copy()
         c_wp[:p, :] = 0.0  # P carries the W/P share of the update (LOBPCG momentum)
         c2 = np.stack([c_np, c_wp]).astype(np.float32)
-        x, kx, mx, pdir, kp, mp = recombine(s, ks, ms, jnp.asarray(c2))
+        with profile.scope("eig/recombine"):
+            x, kx, mx, pdir, kp, mp = recombine(s, ks, ms, jnp.asarray(c2))
+            if profile.enabled:
+                jax.block_until_ready(mx)
         theta = jnp.asarray(theta_np)
         if refresh_every and (it + 1) % refresh_every == 0:
             kx, mx = refresh(op_state, x)  # shed recombination drift
