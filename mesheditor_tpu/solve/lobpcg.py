@@ -36,7 +36,11 @@ import numpy as np
 @dataclass
 class LobpcgResult:
     eigenvalues: np.ndarray  # (nev,), ascending; empty when convergence failed
-    eigenvectors: np.ndarray  # (n, nev), M-orthonormal
+    # (n, nev), M-orthonormal. A DEVICE array on success: at corpus scale the full
+    # basis is ~100 MB and the tunnel runs ~10 MB/s, so callers gather the rows they
+    # need on device (mode shapes are a handful of rows) and only download the full
+    # basis when they keep it (warm starts).
+    eigenvectors: object
     iterations: int = 0
     op_applications: int = 0  # pencil matvec panels applied (K or K-sigma*M)
     residual_norms: Optional[np.ndarray] = None
@@ -177,8 +181,31 @@ def lobpcg_pencil(
         b = x.T @ mx
         return x, kx, mx, a, b
 
+    # The tunnel's host->device path here runs ~1-2 MB/s; the per-iteration upload is
+    # the recombination weights, so their width is wall-clock. f32 is the validated
+    # default; f16 halves the upload again (basis perturbation ~1e-3 stays inside the
+    # subspace, which the f64 Rayleigh-Ritz re-optimizes each iteration) — opt-in via
+    # MESHEDITOR_TPU_C16=1 until exercised more broadly.
+    c_up_dtype = jnp.float16 if os.environ.get("MESHEDITOR_TPU_C16") else jnp.float32
+
     @jax.jit
-    def step_stage(ops, x, kx, mx, theta, pdir, kp_in, mp_in, have_p):
+    def fused_stage(ops, s_in, ks_in, ms_in, cu, theta_up):
+        """Recombine + step in ONE dispatch, with ONE significant packed upload.
+
+        cu (3p, p) carries the Rayleigh-Ritz weights c (X = S c); theta_up (p,) f64
+        rides alongside (KB-scale). The momentum weights are DERIVED on device — c_wp
+        is c with the X-block rows zeroed (exactly the host-side c_wp[:p] = 0) —
+        halving the upload. On the first iteration those rows are all of c's support,
+        so P is exactly zero and the projection masks retire it."""
+        c = cu.astype(s_in.dtype)
+        theta = theta_up.astype(s_in.dtype)
+        c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c, 0.0)
+        x = s_in @ c
+        kx = ks_in @ c
+        mx = ms_in @ c
+        pdir = s_in @ c_wp
+        kp_in = ks_in @ c_wp
+        mp_in = ms_in @ c_wp
         # Residuals of the current Ritz pairs; preconditioned residuals form W.
         r = kx - mx * theta[None, :]
         res_norm = jnp.sqrt(_col_dots(r, r))
@@ -206,9 +233,8 @@ def lobpcg_pencil(
         # P is a linear combination of the previous S, so its K/M products arrived from
         # the recombination GEMMs — projection and normalization are linear and update
         # them consistently: the pencil is NEVER applied to P.
-        pdir = jnp.where(have_p, pdir, jnp.zeros_like(pdir))
-        kp = jnp.where(have_p, kp_in, jnp.zeros_like(kp_in))
-        mp = jnp.where(have_p, mp_in, jnp.zeros_like(mp_in))
+        kp = kp_in
+        mp = mp_in
         pre2p = _col_dots(pdir, mp)
         q = mx.T @ pdir
         pdir_o = pdir - x @ q
@@ -251,55 +277,81 @@ def lobpcg_pencil(
     def refresh(ops, x):
         return _kmat(ops, x), _mmat(ops, x)
 
+    @jax.jit
+    def pad_basis(x, kx, mx):
+        z = jnp.zeros((x.shape[0], 2 * x.shape[1]), x.dtype)
+        return (jnp.concatenate([x, z], 1), jnp.concatenate([kx, z], 1),
+                jnp.concatenate([mx, z], 1))
+
+    @jax.jit
+    def rebuild(x, kx, mx, pdir, kp, mp):
+        z = jnp.zeros_like(x)
+        return (jnp.concatenate([x, pdir, z], 1), jnp.concatenate([kx, kp, z], 1),
+                jnp.concatenate([mx, mp, z], 1))
+
+    from .. import profile
+
     # Seed: warm basis columns, then fixed-seed gaussian fill (same determinism discipline
     # as the reference's SubspaceIterate rng seed, mesh2modes.cpp:354).
-    key = jax.random.PRNGKey(seed)
-    x = jax.random.normal(key, (n, p), dtype=dtype)
-    if x0 is not None and x0.size:
-        seeded = min(x0.shape[1], p)
-        x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
+    with profile.scope("eig/init"):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.normal(key, (n, p), dtype=dtype)
+        if x0 is not None and x0.size:
+            seeded = min(x0.shape[1], p)
+            x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
 
-    x, kx, mx, a, b = init_stage(op_state, x)
-    theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
-    c2 = np.stack([c_np, np.zeros_like(c_np)]).astype(np.float32)
-    x, kx, mx, pdir, kp, mp = recombine(x, kx, mx, jnp.asarray(c2))
-    theta = jnp.asarray(theta_np)
+        x, kx, mx, a, b = init_stage(op_state, x)
+        theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
+        # Enter the fused (n, 3p) block layout once: basis columns beyond X are zero,
+        # as are their c rows, so the first fused iteration recombines exactly [X c | 0].
+        s, ks, ms = pad_basis(x, kx, mx)
+        cu = np.zeros((3 * p, p))
+        cu[:p] = c_np
+        cu = cu.astype(c_up_dtype)
+        theta_up = theta_np
     ops = 3  # init + recombined products
     prev = np.full(p, np.inf)
     iterations = 0
     res_norm = None
 
-    from .. import profile
-
     for it in range(max_iters):
-        have_p = jnp.asarray(it > 0)
-        with profile.scope("eig/step_stage"):
-            s, ks, ms, a_d, b32, res_norm = step_stage(
-                op_state, x, kx, mx, theta, pdir, kp, mp, have_p
+        with profile.scope("eig/fused_stage"):
+            s, ks, ms, a_d, b32, res_norm = fused_stage(
+                op_state, s, ks, ms, jnp.asarray(cu), jnp.asarray(theta_up)
             )
             if profile.enabled:
                 jax.block_until_ready(a_d)
         ops += 2 + 2 * inner_iters
         with profile.scope("eig/transfer_down"):
-            a_h = np.asarray(a_d)
-            b_h = np.asarray(b32).astype(np.float64)
+            a_h, b_h32 = jax.device_get((a_d, b32))
         with profile.scope("eig/host_rr"):
-            theta_np, c_np = _solve_reduced(a_h, b_h, p)
+            theta_np, c_np = _solve_reduced(a_h, b_h32.astype(np.float64), p)
         iterations = it + 1
         lam = theta_np
         if not np.isfinite(lam[:nev]).all():
             # Numerical breakdown is a failed solve, like the reference's empty-modes path.
             return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
-        c_wp = c_np.copy()
-        c_wp[:p, :] = 0.0  # P carries the W/P share of the update (LOBPCG momentum)
-        c2 = np.stack([c_np, c_wp]).astype(np.float32)
-        with profile.scope("eig/recombine"):
+        # P's weights (the LOBPCG momentum) are derived on device from cu: rows [:p]
+        # zeroed — identical to the former host-side c_wp.
+        cu = c_np.astype(c_up_dtype)
+        theta_up = theta_np
+        refreshed = refresh_every and (it + 1) % refresh_every == 0
+        if refreshed:
+            # Shed recombination drift: materialize X/P, reapply the pencil to X, and
+            # re-enter the block layout with selection weights. The derived-momentum
+            # packing cannot express an independent P selection, so the iteration
+            # right after a refresh runs without momentum (a steepest-descent step)
+            # — refreshes are rare (every `refresh_every`), the cost is one slightly
+            # weaker step.
+            c_wp = c_np.copy()
+            c_wp[:p, :] = 0.0
+            c2 = np.stack([c_np, c_wp]).astype(np.float32)
             x, kx, mx, pdir, kp, mp = recombine(s, ks, ms, jnp.asarray(c2))
-            if profile.enabled:
-                jax.block_until_ready(mx)
-        theta = jnp.asarray(theta_np)
-        if refresh_every and (it + 1) % refresh_every == 0:
-            kx, mx = refresh(op_state, x)  # shed recombination drift
+            kx, mx = refresh(op_state, x)
+            s, ks, ms = rebuild(x, kx, mx, pdir, kp, mp)
+            cu = np.zeros((3 * p, p))
+            cu[:p] = np.eye(p)
+            cu = cu.astype(c_up_dtype)
             ops += 2
 
         delta = np.abs(lam[:nev] - prev[:nev])
@@ -328,9 +380,17 @@ def lobpcg_pencil(
         if callback is not None and callback(iterations, settled):
             return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
         if settled >= nev:
+            if refreshed:
+                # s was rebuilt to [X|P|0] this iteration; X is selected directly.
+                sel = np.zeros((3 * p, p), np.float32)
+                sel[:p] = np.eye(p)
+                c2 = np.stack([sel, np.zeros_like(sel)])
+            else:
+                c2 = np.stack([c_np, np.zeros_like(c_np)]).astype(np.float32)
+            x_out, _, _, _, _, _ = recombine(s, ks, ms, jnp.asarray(c2))
             return LobpcgResult(
                 lam[:nev].copy(),
-                np.asarray(x[:, :nev]),
+                x_out[:, :nev],  # device-resident; see LobpcgResult
                 iterations,
                 ops,
                 residual_norms=np.asarray(res_norm)[:nev],

@@ -187,10 +187,13 @@ def mesh2modes(
 
     t0 = time.perf_counter()
     # Eigenvectors are M-orthonormal, so shapes are already mass-normalized (kg^-1/2).
-    ev = eig.eigenvectors  # (n, fem_n_modes)
+    # The basis stays on device (LobpcgResult contract): gather only the excitation
+    # rows there — a few KB over the tunnel instead of the ~100 MB full basis.
+    ev = eig.eigenvectors  # (n, fem_n_modes), device
     dof_rows = (3 * ex_points[:, None] + np.arange(3)[None, :]).reshape(-1)
-    shapes = ev[dof_rows, :].reshape(ex_points.shape[0], 3, fem_n_modes)
-    shapes = np.transpose(shapes, (0, 2, 1)).astype(np.float32)  # (points, modes, 3)
+    shapes = np.asarray(ev[jnp.asarray(dof_rows), :].astype(jnp.float32))
+    shapes = shapes.reshape(ex_points.shape[0], 3, fem_n_modes)
+    shapes = np.ascontiguousarray(np.transpose(shapes, (0, 2, 1)))  # (points, modes, 3)
     profile.extract = time.perf_counter() - t0
 
     summary = ModalEigenSummary(
@@ -198,7 +201,9 @@ def mesh2modes(
     )
     modes = postprocess_modes(eig.eigenvalues, shapes, 1.0, material, config, positions)
     modes.baked_scale = baked_scale.astype(np.float32)
-    basis = ev.astype(np.float32) if reuse.keep_basis else None
+    # Full-basis download only when the caller keeps it (warm starts), and in f32 —
+    # halves the tunnel bytes; a warm seed only needs the subspace, not f64 precision.
+    basis = np.asarray(ev.astype(jnp.float32)) if reuse.keep_basis else None
     return ModalResult(modes, mass_props, profile, summary, basis, remap)
 
 
