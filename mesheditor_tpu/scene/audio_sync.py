@@ -69,6 +69,7 @@ class SceneAudio:
         self.tet_resolution = int(tet_resolution)
         self.modal_level = float(modal_level)
         self.synth = None
+        self.samples = None  # SamplePlayer, lazily created by set_vertex_samples
         self._live: dict[int, _EntityAudio] = {}
         self._slots: dict[int, int] = {}
 
@@ -243,8 +244,18 @@ class SceneAudio:
 
     def strike(self, e, expos: int, j, pulse_step: float = 1.0 / 300.0,
                pulse_gamma: float = 20.0, accel_amp: float = 0.0) -> None:
+        """Route a vertex strike by the entity's SoundVertices model: Samples-mode
+        entities tap their registered recording (AudioSystem.cpp:1475-1489), everyone
+        else excites the modal bank."""
         from ..synth.engine import ModalEvent
+        from .components import SoundVertices
 
+        sv = self.registry.get(e, SoundVertices)
+        if sv is not None and sv.model == "samples" and self.samples is not None:
+            # Recordings play at recorded level — they ARE the ground truth the modal
+            # render is compared against; the strike only selects the vertex.
+            if self.samples.trigger(self._slots.get(e, -1), expos):
+                return  # recorded tap played; no modal excitation in Samples mode
         slot = self._slots.get(e)
         if slot is None or self.synth is None:
             return
@@ -252,6 +263,25 @@ class SceneAudio:
             kind="impact", obj=slot, expos=expos, j=tuple(np.asarray(j, np.float64)),
             pulse_step=pulse_step, pulse_gamma=pulse_gamma, accel_amp=accel_amp,
         ))
+
+    def set_vertex_samples(self, e, clips) -> None:
+        """Bind recorded clips to an entity's excite vertices (SetVertexSamples;
+        RealImpact's ActivateRealImpactMicrophone lands here)."""
+        from ..synth.samples import SamplePlayer
+
+        if self.samples is None:
+            self.samples = SamplePlayer(sample_rate=self.sample_rate)
+        self.samples.set_vertex_samples(self._slots.get(e, -1), clips)
+
+    def render_with_samples(self, num_samples: int) -> np.ndarray:
+        """One block: modal render + recorded-sample playback mix (ProcessAudio's
+        output sum, AudioSystem.cpp:1469-1491)."""
+        out = np.zeros(num_samples, np.float32)
+        if self.synth is not None:
+            out += np.asarray(self.synth.render(num_samples))
+        if self.samples is not None:
+            out += self.samples.mix(num_samples)
+        return out
 
 
 def simulate_scene(

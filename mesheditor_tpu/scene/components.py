@@ -107,9 +107,12 @@ class ModalTuningComponent:
 
 @dataclass
 class SoundVertices:
-    """Excitable vertex selection (reference: src/audio/SoundVertices.h)."""
+    """Excitable vertex selection + playback model (reference: src/audio/SoundVertices.h,
+    SoundVerticesModel::{Samples, Modal} at AudioTypes.h:39-46 — Samples taps recorded
+    clips at the struck vertex for ground-truth A/B against the modal render)."""
 
     vertices: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    model: str = "modal"  # modal | samples
 
 
 @dataclass
