@@ -182,6 +182,10 @@ def export_gltf(r: Registry, path) -> None:
                 "attributes": {"POSITION": pos_acc, "NORMAL": nrm_acc},
                 "indices": idx_acc,
             }
+            uvs = np.asarray(mesh.uvs, np.float32)
+            if uvs.shape[0] == pos.shape[0] and uvs.size:
+                prim["attributes"]["TEXCOORD_0"] = _accessor(gltf, buffers, uvs,
+                                                             target=34962)
             if mesh.morph_targets.shape[0]:
                 prim["targets"] = [
                     {"POSITION": _accessor(gltf, buffers,
@@ -205,6 +209,29 @@ def export_gltf(r: Registry, path) -> None:
                 }
                 if np.any(np.asarray(vm.emissive) != 0):
                     entry["emissiveFactor"] = [float(v) for v in vm.emissive]
+                tex = np.asarray(getattr(vm, "texture", np.zeros((0, 0, 4), np.uint8)))
+                if tex.size:
+                    # Embed the baseColorTexture as a PNG bufferView image.
+                    import io as _io
+
+                    from PIL import Image
+
+                    png = _io.BytesIO()
+                    Image.fromarray(tex.astype(np.uint8)).save(png, format="PNG")
+                    data = png.getvalue()
+                    off = len(buffers)
+                    buffers.extend(data)
+                    buffers.extend(b"\x00" * ((-len(data)) % 4))
+                    gltf.setdefault("bufferViews", []).append(
+                        {"buffer": 0, "byteOffset": off, "byteLength": len(data)})
+                    gltf.setdefault("images", []).append(
+                        {"bufferView": len(gltf["bufferViews"]) - 1,
+                         "mimeType": "image/png"})
+                    gltf.setdefault("samplers", [{"wrapS": 10497, "wrapT": 10497}])
+                    gltf.setdefault("textures", []).append(
+                        {"source": len(gltf["images"]) - 1, "sampler": 0})
+                    entry["pbrMetallicRoughness"]["baseColorTexture"] = {
+                        "index": len(gltf["textures"]) - 1}
                 if mat is not None:
                     entry["name"] = mat.name
                 gltf["materials"].append(entry)
@@ -386,6 +413,28 @@ def export_gltf(r: Registry, path) -> None:
         path.write_text(json.dumps(gltf, indent=1))
 
 
+def _read_image(gltf, buffers, path: Path, image_index: int) -> np.ndarray:
+    """Decode a glTF image (bufferView, file uri, or data uri) to (h, w, 4) uint8."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    img = gltf.get("images", [])[image_index]
+    if "bufferView" in img:
+        bv = gltf["bufferViews"][img["bufferView"]]
+        off = bv.get("byteOffset", 0)
+        data = bytes(buffers[bv.get("buffer", 0)][off:off + bv["byteLength"]])
+    else:
+        uri = img.get("uri", "")
+        if uri.startswith("data:"):
+            data = base64.b64decode(uri.split(",", 1)[1])
+        else:
+            data = (path.parent / uri).read_bytes()
+    with Image.open(_io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGBA"), np.uint8)
+
+
 def _read_buffer(gltf, path: Path, blob: bytes | None) -> list[bytes]:
     out = []
     for buf in gltf.get("buffers", []):
@@ -553,11 +602,24 @@ def import_gltf(path, store_dir=None) -> Registry:
                 if deltas:
                     targets = np.stack(deltas)
             weights = np.asarray(mesh.get("weights", node.get("weights", [])), np.float64)
+            uv_attr = prim["attributes"].get("TEXCOORD_0")
+            uvs = (_read_accessor(gltf, buffers, uv_attr).astype(np.float64)
+                   if uv_attr is not None else np.zeros((0, 2)))
             r.emplace(e, MeshSurface(positions=pos, triangles=idx.reshape(-1, 3),
-                                     morph_targets=targets, morph_weights=weights))
+                                     morph_targets=targets, morph_weights=weights,
+                                     uvs=uvs))
             if "material" in prim:
                 m = gltf.get("materials", [])[prim["material"]]
                 pbr = m.get("pbrMetallicRoughness", {})
+                texture = np.zeros((0, 0, 4), np.uint8)
+                bct = pbr.get("baseColorTexture")
+                if bct is not None and "index" in bct:
+                    try:
+                        src = gltf.get("textures", [])[bct["index"]].get("source")
+                        if src is not None:
+                            texture = _read_image(gltf, buffers, path, src)
+                    except Exception as exc:  # undecodable payloads degrade gracefully
+                        print(f"Warning: baseColorTexture decode failed: {exc}")
                 r.emplace(e, VisualMaterial(
                     base_color=np.asarray(
                         pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0]), np.float64),
@@ -566,6 +628,7 @@ def import_gltf(path, store_dir=None) -> Registry:
                     emissive=np.asarray(m.get("emissiveFactor", [0.0, 0.0, 0.0]),
                                         np.float64),
                     double_sided=bool(m.get("doubleSided", False)),
+                    texture=texture,
                 ))
         extras = node.get("extras", {})
         ac = extras.get("MESHEDITOR_TPU_acoustic")

@@ -17,7 +17,7 @@ import numpy as np
 from .camera import Camera, frame_points, view_projection
 from .picking import box_select, pick_element, pick_object
 from .raster import GBuffer, project_points, rasterize
-from .shading import LightBank, MaterialTable, shade, vertex_normals
+from .shading import LightBank, MaterialTable, build_atlas, shade, vertex_normals
 
 
 @dataclass
@@ -42,6 +42,8 @@ class SceneBatch:
     entities: list          # object row -> entity id
     materials: MaterialTable
     lights: LightBank
+    uvs: np.ndarray = None     # (N, 2) TEXCOORD_0 (zeros where untextured)
+    atlas: object = None       # TextureAtlas | None
 
 
 def _light_world_dir(r, e) -> np.ndarray:
@@ -64,6 +66,7 @@ def flatten_scene(r) -> SceneBatch:
 
     pos_parts, nrm_parts, tri_parts, obj_parts, entities = [], [], [], [], []
     base_colors, metallics, roughnesses, emissives = [], [], [], []
+    uv_parts, textures = [], []
     offset = 0
     for e, surf in sorted(r.view(MeshSurface), key=lambda kv: kv[0]):
         p = np.asarray(surf.morphed_positions(), np.float64)
@@ -84,6 +87,8 @@ def flatten_scene(r) -> SceneBatch:
         nrm_parts.append(nw)
         tri_parts.append(t + offset)
         obj_parts.append(np.full(t.shape[0], row, np.int32))
+        uv = np.asarray(surf.uvs, np.float32)
+        uv_parts.append(uv if uv.shape[0] == p.shape[0] else np.zeros((p.shape[0], 2), np.float32))
         entities.append(e)
         offset += p.shape[0]
         mat = r.get(e, VisualMaterial)
@@ -95,6 +100,8 @@ def flatten_scene(r) -> SceneBatch:
         metallics.append(float(mat.metallic))
         roughnesses.append(float(mat.roughness))
         emissives.append(np.asarray(mat.emissive, np.float32).reshape(3))
+        tex = getattr(mat, "texture", None)
+        textures.append(np.asarray(tex) if tex is not None and np.asarray(tex).size else None)
 
     kinds, lpos, ldir, lcol, cones = [], [], [], [], []
     kind_map = {"directional": LIGHT_DIRECTIONAL, "point": LIGHT_POINT, "spot": LIGHT_SPOT}
@@ -116,6 +123,8 @@ def flatten_scene(r) -> SceneBatch:
         normals = np.concatenate(nrm_parts).astype(np.float32)
         triangles = np.concatenate(tri_parts).astype(np.int32)
         tri_obj = np.concatenate(obj_parts)
+        uvs = np.concatenate(uv_parts).astype(np.float32)
+        atlas = build_atlas(textures)
         materials = MaterialTable(
             base_color=jnp.asarray(np.stack(base_colors)),
             metallic=jnp.asarray(np.asarray(metallics, np.float32)),
@@ -127,10 +136,13 @@ def flatten_scene(r) -> SceneBatch:
         normals = np.zeros((0, 3), np.float32)
         triangles = np.zeros((0, 3), np.int32)
         tri_obj = np.zeros(0, np.int32)
+        uvs = np.zeros((0, 2), np.float32)
+        atlas = None
         materials = MaterialTable.default(1)
     lights = (LightBank.from_lists(kinds, lpos, ldir, lcol, cones) if kinds
               else LightBank.default())
-    return SceneBatch(positions, normals, triangles, tri_obj, entities, materials, lights)
+    return SceneBatch(positions, normals, triangles, tri_obj, entities, materials,
+                      lights, uvs=uvs, atlas=atlas)
 
 
 class SceneRenderer:
@@ -169,6 +181,7 @@ class SceneRenderer:
                 flat=s.mode == "flat",
                 wireframe=s.mode == "wireframe",
                 wire_only=s.mode == "wireframe_only",
+                uvs=self.batch.uvs, atlas=self.batch.atlas,
             )
             img = np.asarray(img)
         ss = max(int(s.supersample), 1)

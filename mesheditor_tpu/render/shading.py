@@ -39,6 +39,42 @@ class MaterialTable(NamedTuple):
         )
 
 
+class TextureAtlas(NamedTuple):
+    """All scene baseColor textures packed into one device array (the reference's
+    bindless texture table, src/render/Textures.*): per-object rows give the
+    sub-rectangle; shading samples bilinearly with REPEAT wrap inside it."""
+
+    atlas: jax.Array  # (AH, AW, 3) f32, linear color
+    rect: jax.Array   # (O, 4) f32: y0, height_px, width_px, has_texture flag
+
+
+def srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def build_atlas(textures: list) -> TextureAtlas | None:
+    """Pack per-object (h, w, 4) uint8 sRGB textures (or None/empty) vertically into
+    one linear-color atlas. Returns None when nothing is textured."""
+    sizes = [(t.shape[0], t.shape[1]) for t in textures
+             if t is not None and t.size > 0]
+    if not sizes:
+        return None
+    aw = max(w for _, w in sizes)
+    ah = sum(h for h, _ in sizes)
+    atlas = np.zeros((ah, aw, 3), np.float32)
+    rect = np.zeros((len(textures), 4), np.float32)
+    y = 0
+    for i, t in enumerate(textures):
+        if t is None or t.size == 0:
+            continue
+        h, w = t.shape[0], t.shape[1]
+        atlas[y:y + h, :w] = srgb_to_linear(np.asarray(t[..., :3], np.float32) / 255.0)
+        rect[i] = (y, h, w, 1.0)
+        y += h
+    return TextureAtlas(jnp.asarray(atlas), jnp.asarray(rect))
+
+
 class LightBank(NamedTuple):
     """Punctual lights, padded; zero-color entries contribute nothing."""
 
@@ -102,9 +138,38 @@ def _ggx_brdf(n, v, l, albedo, metallic, roughness):
     return (kd * albedo / jnp.pi + spec) * ndl[..., None]
 
 
+def _sample_atlas(atlas, rect, obj, uv):
+    """Bilinear REPEAT-wrapped sample of each pixel's object texture sub-rect.
+    uv: (H, W, 2); obj: (H, W) int; returns ((H, W, 3) color, (H, W) flag)."""
+    r = rect[obj]  # (H, W, 4)
+    y0, th, tw, flag = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    fx = jnp.clip(u * tw - 0.5, 0.0, jnp.maximum(tw - 1.0, 0.0))
+    fy = jnp.clip(v * th - 0.5, 0.0, jnp.maximum(th - 1.0, 0.0))
+    x0 = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0f)[..., None]
+    ah, aw = atlas.shape[0], atlas.shape[1]
+
+    def tex(ix, iy):
+        ix = jnp.clip(ix, 0, aw - 1).astype(jnp.int32)
+        iy = jnp.clip(iy, 0, ah - 1).astype(jnp.int32)
+        return atlas[iy, ix]
+
+    gx0 = x0
+    gy0 = y0 + y0f
+    c = ((1 - ax) * (1 - ay) * tex(gx0, gy0)
+         + ax * (1 - ay) * tex(gx0 + 1, gy0)
+         + (1 - ax) * ay * tex(gx0, gy0 + 1)
+         + ax * ay * tex(gx0 + 1, gy0 + 1))
+    return c, flag
+
+
 @partial(jax.jit, static_argnums=(8, 9, 10))
 def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extras,
-                flat, wireframe, wire_only):
+                flat, wireframe, wire_only, uvs=None, tex=None):
     depth, tri, bary = gbuf
     eye, ambient, background, wire_color, wire_eps = extras
     valid = tri >= 0
@@ -124,6 +189,10 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
 
     obj = tri_obj[t]
     albedo = materials.base_color[obj][..., :3]
+    if tex is not None and uvs is not None:
+        uv = jnp.einsum("hwk,hwkc->hwc", bary, uvs[vid])
+        tex_c, tex_flag = _sample_atlas(tex.atlas, tex.rect, obj, uv)
+        albedo = albedo * jnp.where(tex_flag[..., None] > 0, tex_c, 1.0)
     metallic = materials.metallic[obj]
     roughness = materials.roughness[obj]
     emissive = materials.emissive[obj]
@@ -167,12 +236,12 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
 def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
           lights: LightBank, eye, ambient=(0.06, 0.06, 0.07),
           background=(0.125, 0.133, 0.153), flat=False, wireframe=False,
-          wire_only=False, wire_color=(0.9, 0.65, 0.1), wire_eps=0.02):
+          wire_only=False, wire_color=(0.9, 0.65, 0.1), wire_eps=0.02,
+          uvs=None, atlas: TextureAtlas | None = None):
     """Light the G-buffer. positions/normals are world-space per-vertex arrays;
-    tri_obj maps each triangle to its object row in `materials`."""
+    tri_obj maps each triangle to its object row in `materials`. With `uvs` (N, 2)
+    and a TextureAtlas, base color is modulated by the sampled texture."""
     tris = jnp.asarray(np.asarray(tris, np.int32).reshape(-1, 3))
-    pad = gbuf.tri.shape  # tri ids may reference padded rows; clamp via maximum above
-    del pad
     extras = (
         jnp.asarray(eye, jnp.float32),
         jnp.asarray(ambient, jnp.float32),
@@ -180,10 +249,14 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
         jnp.asarray(wire_color, jnp.float32),
         jnp.float32(wire_eps),
     )
+    uv_arr = None
+    if atlas is not None and uvs is not None:
+        uv_arr = jnp.asarray(np.asarray(uvs, np.float32).reshape(-1, 2))
     return _shade_impl(
         gbuf, jnp.asarray(positions, jnp.float32), jnp.asarray(normals, jnp.float32),
         tris, jnp.asarray(np.asarray(tri_obj, np.int32)), materials, lights, extras,
         bool(flat), bool(wireframe), bool(wire_only),
+        uvs=uv_arr, tex=atlas if uv_arr is not None else None,
     )
 
 

@@ -48,6 +48,8 @@ class MeshSurface:
     # glTF morph targets: (m, n, 3) POSITION deltas + the current weights (m,).
     morph_targets: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 3)))
     morph_weights: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    # glTF TEXCOORD_0 (n, 2); empty when the mesh is untextured.
+    uvs: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
 
     def morphed_positions(self) -> np.ndarray:
         """Base positions plus the weighted morph deltas (glTF 2.0 morph semantics)."""
@@ -148,6 +150,8 @@ class VisualMaterial:
     roughness: float = 0.7
     emissive: np.ndarray = field(default_factory=lambda: np.zeros(3))
     double_sided: bool = True
+    # baseColorTexture payload: (h, w, 4) uint8 sRGB; empty = untextured.
+    texture: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 4), np.uint8))
 
 
 @dataclass

@@ -91,3 +91,53 @@ class TestVisualRoundtrip:
         assert ys.size > 0
         px = img[ys, xs]
         assert px[:, 0].mean() > px[:, 2].mean()
+
+
+class TestTextures:
+    """TEXCOORD_0 + baseColorTexture roundtrip and rasterizer sampling (reference:
+    texture pipeline, src/render/Textures.*; glTF import GltfScene.cpp)."""
+
+    def _textured_scene(self):
+        r = Registry()
+        install_default_pipeline(r)
+        e = r.create()
+        # A quad with UVs spanning the texture.
+        pos = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float64)
+        tris = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float64)
+        r.emplace(e, MeshSurface(positions=pos, triangles=tris, uvs=uvs))
+        # Left half red, right half blue.
+        tex = np.zeros((8, 8, 4), np.uint8)
+        tex[..., 3] = 255
+        tex[:, :4, 0] = 255
+        tex[:, 4:, 2] = 255
+        r.emplace(e, VisualMaterial(base_color=np.ones(4), metallic=0.0,
+                                    roughness=1.0, texture=tex))
+        return r, e
+
+    def test_texture_roundtrip_gltf_and_glb(self, tmp_path):
+        for name in ("scene.gltf", "scene.glb"):
+            r, e = self._textured_scene()
+            p = tmp_path / name
+            export_gltf(r, p)
+            r2 = import_gltf(p)
+            (_, m), = r2.view(VisualMaterial)
+            assert m.texture.shape == (8, 8, 4)
+            assert m.texture[0, 0, 0] == 255 and m.texture[0, 7, 2] == 255
+            (_, surf), = r2.view(MeshSurface)
+            assert surf.uvs.shape == (4, 2)
+
+    def test_textured_render_shows_texture_colors(self, tmp_path):
+        from mesheditor_tpu.render import Camera, RenderSettings, render_scene
+
+        r, e = self._textured_scene()
+        p = tmp_path / "scene.gltf"
+        export_gltf(r, p)
+        r2 = import_gltf(p)
+        cam = Camera(eye=np.array([0.0, 0.0, 3.0]), near=0.1, far=20.0)
+        view = render_scene(r2, camera=cam, settings=RenderSettings(64, 64))
+        img = view.image()
+        left = img[32, 16]
+        right = img[32, 48]
+        assert left[0] > left[2]    # red half
+        assert right[2] > right[0]  # blue half
