@@ -68,8 +68,14 @@ def flatten_scene(r) -> SceneBatch:
     base_colors, metallics, roughnesses, emissives = [], [], [], []
     uv_parts, textures = [], []
     offset = 0
+    from ..scene.armature import DeformedSurface
+
     for e, surf in sorted(r.view(MeshSurface), key=lambda kv: kv[0]):
-        p = np.asarray(surf.morphed_positions(), np.float64)
+        deformed = r.get(e, DeformedSurface)
+        if deformed is not None and deformed.positions.shape[0] == surf.positions.shape[0]:
+            p = np.asarray(deformed.positions, np.float64)
+        else:
+            p = np.asarray(surf.morphed_positions(), np.float64)
         t = np.asarray(surf.triangles, np.int64).reshape(-1, 3)
         if p.shape[0] == 0 or t.shape[0] == 0:
             continue

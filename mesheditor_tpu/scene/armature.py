@@ -116,3 +116,66 @@ def skin_positions(skin: Skin, bone_world: np.ndarray, positions: np.ndarray) ->
     moved = np.einsum("vjab,vb->vja", per_joint, hom)  # (V, 4, 4)
     blended = (skin.weights[:, :, None] * moved).sum(axis=1)  # (V, 4)
     return blended[:, :3]
+
+
+# ---- ECS wiring (reference: armature/ArmatureComponents.h:14-52 — bones, skins,
+# pose state, GPU deform ranges; deformation runs in the frame pipeline before draw) --
+
+
+@dataclass
+class ArmatureComponent:
+    """An armature + its current pose, carried by an entity. Persistent: bones and
+    pose are authored state; the deformed surface is Derived."""
+
+    armature: Armature = field(default_factory=Armature)
+    pose: Pose = field(default_factory=lambda: Pose.rest(0))
+
+
+@dataclass
+class SkinComponent:
+    """Binds this entity's MeshSurface to an armature entity's bones."""
+
+    armature_entity: int = 0
+    joints: np.ndarray = field(default_factory=lambda: np.zeros((0, 4), np.int64))
+    weights: np.ndarray = field(default_factory=lambda: np.zeros((0, 4)))
+    inverse_bind: np.ndarray = field(default_factory=lambda: np.zeros((0, 4, 4)))
+
+
+@dataclass
+class DeformedSurface:
+    """Derived: skinned vertex positions, rebuilt by the derivation pass; the
+    renderer and physics prefer these over the rest-pose MeshSurface positions."""
+
+    positions: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+
+
+def derive_skinning(registry) -> None:
+    """Apply linear-blend skinning for every skinned mesh (the deform stage of
+    ProcessComponentEvents, reference src/ProcessEvents.cpp:~1076-1200)."""
+    from .components import MeshSurface
+
+    for e, sc in list(registry.view(SkinComponent)):
+        surf = registry.get(e, MeshSurface)
+        arm = registry.get(sc.armature_entity, ArmatureComponent)
+        if surf is None or arm is None or surf.positions.shape[0] == 0:
+            continue
+        if sc.joints.shape[0] != surf.positions.shape[0]:
+            continue
+        bone_world = arm.armature.pose_world(arm.pose)
+        skin = Skin(np.asarray(sc.joints, np.int64),
+                    np.asarray(sc.weights, np.float64),
+                    np.asarray(sc.inverse_bind, np.float64))
+        deformed = skin_positions(skin, bone_world, surf.morphed_positions())
+        registry.emplace(e, DeformedSurface(positions=deformed))
+
+
+def make_skin_component(armature_entity: int, armature: Armature, joints,
+                        weights) -> SkinComponent:
+    """Bind helper mirroring Skin.bind, but ECS-addressed."""
+    rest = armature.rest_world()
+    return SkinComponent(
+        armature_entity=int(armature_entity),
+        joints=np.asarray(joints, np.int64),
+        weights=np.asarray(weights, np.float64),
+        inverse_bind=np.linalg.inv(rest),
+    )

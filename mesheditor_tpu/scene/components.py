@@ -191,3 +191,16 @@ PERSISTENT_COMPONENTS = (
     LightComponent,
 )
 DERIVED_COMPONENTS = (WorldTransform, ExciteState)
+
+
+def _register_armature_components():
+    """Armature/skinning components live in scene.armature (they carry their own
+    math); registered here so the snapshot coverage rule sees them."""
+    global PERSISTENT_COMPONENTS, DERIVED_COMPONENTS
+    from .armature import ArmatureComponent, DeformedSurface, SkinComponent
+
+    PERSISTENT_COMPONENTS = PERSISTENT_COMPONENTS + (ArmatureComponent, SkinComponent)
+    DERIVED_COMPONENTS = DERIVED_COMPONENTS + (DeformedSurface,)
+
+
+_register_armature_components()

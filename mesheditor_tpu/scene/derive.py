@@ -47,5 +47,9 @@ def derive_world_transforms(r: Registry) -> None:
 
 
 def install_default_pipeline(r: Registry) -> None:
-    """Wire the standard derivation order (the InitEngine analog)."""
+    """Wire the standard derivation order (the InitEngine analog): transforms first,
+    then skinning (the deform stage runs after pose state is settled)."""
+    from .armature import derive_skinning
+
     r.on_process(derive_world_transforms)
+    r.on_process(derive_skinning)
