@@ -110,6 +110,44 @@ def cmd_bench(args):
     run()
 
 
+def cmd_record(args):
+    """Fixed-step turntable recording (the reference's --record capture,
+    main.cpp CLI + VideoRecorder)."""
+    import numpy as np
+
+    from .render import RenderSettings
+    from .render.camera import frame_points
+    from .render.record import record, turntable_frames
+    from .render.scene_render import render_scene
+
+    settings = RenderSettings(width=args.width, height=args.height, mode=args.mode)
+    path = args.scene
+    if path.endswith((".gltf", ".glb")):
+        from .io.gltf import import_gltf
+        from .scene.components import MeshSurface
+
+        r = import_gltf(path)
+        pts = np.concatenate([
+            np.asarray(s.positions) for _, s in r.view(MeshSurface)
+        ]) if any(True for _ in r.view(MeshSurface)) else np.zeros((1, 3))
+
+        def frames():
+            for i in range(args.frames):
+                az = -60.0 + 360.0 * i / args.frames
+                cam = frame_points(pts, azimuth_deg=az)
+                yield render_scene(r, camera=cam, settings=settings).image()
+
+        out = record(args.out, frames(), fps=args.fps)
+    else:
+        from .mesh import load_obj, load_ply
+
+        load = load_ply if path.endswith(".ply") else load_obj
+        pts, tris = load(path)
+        out = record(args.out, turntable_frames(pts, tris, n_frames=args.frames,
+                                                settings=settings), fps=args.fps)
+    print(f"wrote {out} ({args.frames} frames @ {args.fps} fps)")
+
+
 def cmd_view(args):
     """Screenshot a scene/mesh through the TPU rasterizer (the reference's
     --screenshot/--headless render path, main.cpp:1387-1433)."""
@@ -176,6 +214,17 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    rec = sub.add_parser("record", help="turntable-record a mesh/scene to gif/mp4/png")
+    rec.add_argument("scene", help=".obj/.ply/.gltf/.glb")
+    rec.add_argument("--out", default="turntable.gif")
+    rec.add_argument("--frames", type=int, default=36)
+    rec.add_argument("--fps", type=float, default=12.0)
+    rec.add_argument("--width", type=int, default=480)
+    rec.add_argument("--height", type=int, default=360)
+    rec.add_argument("--mode", default="smooth",
+                     choices=["smooth", "flat", "wireframe", "wireframe_only"])
+    rec.set_defaults(fn=cmd_record)
 
     v = sub.add_parser("view", help="screenshot a mesh/scene (obj/ply/gltf) to PNG")
     v.add_argument("scene")
