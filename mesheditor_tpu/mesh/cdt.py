@@ -15,7 +15,25 @@ from pathlib import Path
 
 import numpy as np
 
+from dataclasses import dataclass
+
 from ..types import TetMesh
+
+
+@dataclass
+class TetProfile:
+    """Per-stage mesher counters (reference: tetra::Profile, Tetrahedralize.h:29-42 —
+    flip/split/Steiner/missing-face counters surfaced by the corpus snapshot).
+    Deterministic, so snapshot tests can compare counts across runs/machines."""
+
+    lattice_points: int = 0
+    recovery_steiner: int = 0
+    refine_points: int = 0
+    recovery_rounds: int = 0
+    refine_passes: int = 0
+    carved_out: int = 0
+    slivers_dropped: int = 0
+    tets_kept: int = 0
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libtetmesher.so"
@@ -38,6 +56,7 @@ def _load():
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_double),
     ]
     _lib = lib
     return lib
@@ -53,7 +72,7 @@ def native_available() -> bool:
 
 def generate_tets_delaunay(
     positions: np.ndarray, tris: np.ndarray, lattice_h: float = 0.0,
-    quality_bound: float = 0.0
+    quality_bound: float = 0.0, profile: TetProfile | None = None
 ) -> TetMesh:
     """Tet-mesh the interior of a closed surface; surface vertex ids are preserved.
     `lattice_h` is the interior point spacing (0 picks bbox/16). `quality_bound` > 0
@@ -65,11 +84,12 @@ def generate_tets_delaunay(
     scale = ctypes.c_double(0.0)
     ntets = ctypes.c_uint64(0)
     npts = ctypes.c_uint64(0)
+    prof = (ctypes.c_double * 8)()
     p_pts = pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     p_tris = tt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     rc = lib.tetmesh_delaunay(
         p_pts, pts.shape[0], p_tris, tt.shape[0], lattice_h, quality_bound,
-        ctypes.byref(scale), None, ctypes.byref(ntets), None, ctypes.byref(npts),
+        ctypes.byref(scale), None, ctypes.byref(ntets), None, ctypes.byref(npts), prof,
     )
     if rc != 0:
         raise ValueError(f"tetmesh_delaunay failed with code {rc}")
@@ -84,7 +104,12 @@ def generate_tets_delaunay(
         ctypes.byref(scale),
         out_tets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), ctypes.byref(cap_t),
         out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), ctypes.byref(cap_p),
+        prof,
     )
     if rc != 0:
         raise ValueError(f"tetmesh_delaunay (copy pass) failed with code {rc}")
+    if profile is not None:
+        (profile.lattice_points, profile.recovery_steiner, profile.refine_points,
+         profile.recovery_rounds, profile.refine_passes, profile.carved_out,
+         profile.slivers_dropped, profile.tets_kept) = (int(v) for v in prof)
     return TetMesh(points=out_pts[: cap_p.value], tets=out_tets[: cap_t.value])

@@ -363,8 +363,12 @@ int tetmesh_delaunay(
     u32 *out_tets,             // (max_tets, 4) or nullptr for counting
     u64 *inout_ntets,          // in: capacity; out: count
     double *out_points,        // (npoints + n_lattice, 3) or nullptr
-    u64 *inout_npoints         // in: capacity; out: count
+    u64 *inout_npoints,        // in: capacity; out: count
+    double *out_profile        // (8,) stage counters or nullptr (tetra::Profile analog:
+                               // lattice, recovery Steiner, refine points, recovery
+                               // rounds, refine passes, carved-out tets, slivers, kept)
 ) {
+    double prof_counts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
     if (npoints < 4 || ntris < 4) return 1;
     // Bounds.
     V3 lo{1e300, 1e300, 1e300}, hi{-1e300, -1e300, -1e300};
@@ -414,6 +418,7 @@ int tetmesh_delaunay(
                     all.push_back(z);
                 }
     const u64 nall = all.size() / 3;
+    prof_counts[0] = (double)(nall - npoints);  // interior lattice points
 
     // Jittered working copy (deterministic): resolves cospherical/coplanar degeneracies.
     const double jitter = 1e-7 * diag;
@@ -458,6 +463,7 @@ int tetmesh_delaunay(
     auto recover = [&]() {
         const u64 entry_points = all.size() / 3;  // runaway guard is per-invocation
         for (int round = 0; round < 6; ++round) {
+            prof_counts[3] += 1;  // recovery rounds
             // Face and edge sets of the live triangulation (surface-id space).
             std::unordered_map<u64, char> faces;
             std::unordered_map<u64, char> edges;
@@ -538,6 +544,7 @@ int tetmesh_delaunay(
         }
     };
     recover();
+    prof_counts[1] = (double)(all.size() / 3 - nall);  // recovery Steiner points
 
     // ---- Quality refinement (Delaunay refinement with circumcenter Steiner points) ----
     // The reference refines to circumradius/shortest-edge <= 2 when requested
@@ -547,7 +554,9 @@ int tetmesh_delaunay(
     // margin); boundary recovery re-runs after each pass so the skin stays conforming.
     if (quality_bound > 0) {
         const u64 budget = 3 * (all.size() / 3) + 20000;
+        const u64 pre_refine = all.size() / 3;
         for (int pass = 0; pass < 8; ++pass) {
+            prof_counts[4] += 1;  // refine passes
             struct BadTet { double ratio; V3 cc; double r; };
             std::vector<BadTet> bad;
             for (const Tet &t : dl.tets) {
@@ -609,6 +618,8 @@ int tetmesh_delaunay(
             recover();
             if (all.size() / 3 >= budget) break;
         }
+        prof_counts[2] = (double)(all.size() / 3 - pre_refine);  // refine points
+        // Recovery Steiner added during refinement passes counts as recovery too.
     }
     const u64 nfinal = all.size() / 3;
 
@@ -622,18 +633,20 @@ int tetmesh_delaunay(
         const V3 &c = dl.pts[t.v[2]];
         const V3 &d = dl.pts[t.v[3]];
         const V3 cen = (a + b + c + d) * 0.25;
-        if (!inside.inside(cen.x, cen.y + jy, cen.z + jz)) continue;
+        if (!inside.inside(cen.x, cen.y + jy, cen.z + jz)) { prof_counts[5] += 1; continue; }
         const double vol6 = orient3d(a, b, c, d);
         double lmax2 = 0;
         const V3 vs[4] = {a, b, c, d};
         for (int i = 0; i < 4; ++i)
             for (int j = i + 1; j < 4; ++j) lmax2 = std::max(lmax2, norm2(vs[i] - vs[j]));
-        if (std::fabs(vol6) < 1e-10 * lmax2 * std::sqrt(lmax2)) continue;  // sliver
+        if (std::fabs(vol6) < 1e-10 * lmax2 * std::sqrt(lmax2)) { prof_counts[6] += 1; continue; }  // sliver
         std::array<u32, 4> out{t.v[0] - 4, t.v[1] - 4, t.v[2] - 4, t.v[3] - 4};
         if (vol6 < 0) std::swap(out[2], out[3]);  // positive orientation
         keep.push_back(out);
     }
 
+    prof_counts[7] = (double)keep.size();
+    if (out_profile) std::memcpy(out_profile, prof_counts, sizeof(prof_counts));
     if (!out_tets) {
         *inout_ntets = keep.size();
         *inout_npoints = nfinal;

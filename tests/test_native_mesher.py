@@ -146,3 +146,22 @@ class TestQualityRefinement:
         surf_vol = np.einsum("ij,ij->i", s[:, 0],
                              np.cross(s[:, 1], s[:, 2])).sum() / 6.0
         assert abs(tet_vol - abs(surf_vol)) < 2e-3 * abs(surf_vol)
+
+
+class TestCorpusSnapshot:
+    """Structural regression snapshot (reference: ModalSolverBench --snapshot vs
+    tests/fixtures/TetCorpusSnapshot.txt) — catches 'tetrahedralizes validly but
+    differently'. Regenerate with scripts/tet_corpus_snapshot.py after intentional
+    mesher changes."""
+
+    def test_counts_and_hashes_match_fixture(self):
+        import pathlib
+        import sys
+
+        sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "scripts"))
+        from tet_corpus_snapshot import snapshot_lines
+
+        fixture = (pathlib.Path(__file__).parent / "fixtures"
+                   / "tet_corpus_snapshot.txt").read_text().strip().splitlines()
+        current = list(snapshot_lines())
+        assert current == fixture
