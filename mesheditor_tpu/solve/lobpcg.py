@@ -50,11 +50,16 @@ def _col_dots(a, b):
     return jnp.einsum("np,np->p", a, b)
 
 
-def _pcg_block(apply_a, inv_diag, b, iters):
-    """Fixed-iteration Jacobi-preconditioned CG for A X = B, columns independent, X0 = 0."""
+def _pcg_block(apply_a, precond, b, iters):
+    """Fixed-iteration preconditioned CG for A X = B, columns independent, X0 = 0.
+    `precond` maps residual panels to preconditioned panels (Jacobi by default;
+    element-by-element additive Schwarz when the caller provides one)."""
+    if not callable(precond):  # backward compatibility: an inv-diagonal array
+        inv_diag = precond
+        precond = lambda r: inv_diag[:, None] * r  # noqa: E731
     x = jnp.zeros_like(b)
     r = b
-    z = inv_diag[:, None] * r
+    z = precond(r)
     p = z
     rz = _col_dots(r, z)
 
@@ -65,7 +70,7 @@ def _pcg_block(apply_a, inv_diag, b, iters):
         alpha = jnp.where(p_ap > 0, rz / jnp.where(p_ap == 0, 1.0, p_ap), 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * ap
-        z = inv_diag[:, None] * r
+        z = precond(r)
         rz_new = _col_dots(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = z + beta[None, :] * p

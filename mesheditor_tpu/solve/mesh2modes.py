@@ -157,9 +157,11 @@ def mesh2modes(
             progress(0.3 + 0.65 * min(settled / max(fem_n_modes, 1), 1.0))
         return bool(cancelled and cancelled())
 
-    # Measured on v5e at the bench scale: the Jacobi-PCG preconditioner saturates around
-    # 24 inner iterations (48 bought only 12->11 outer rounds at twice the inner cost).
-    inner_iters = int(os.environ.get("MESHEDITOR_TPU_INNER_ITERS", "0")) or 24
+    # Measured on v5e at the bench scale: the f32 Jacobi-PCG residual stagnates around
+    # 0.15 by ~16 inner iterations (f32 accumulation floor) — 24/48/72 all converge in
+    # the same 12 outer rounds, and 16 does too at strictly less compute; 12 also holds
+    # but leaves no margin on harder pencils.
+    inner_iters = int(os.environ.get("MESHEDITOR_TPU_INNER_ITERS", "0")) or 16
 
     t0 = time.perf_counter()
     eig = lobpcg_pencil(
