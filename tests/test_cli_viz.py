@@ -76,3 +76,33 @@ class TestCliSimulate:
         main(["simulate", str(glb), "--seconds", "0.4", "--out", str(wav),
               "--store", str(tmp_path / "store2")])
         assert wav.stat().st_size > 10_000
+
+
+class TestViewRecordCli:
+    """The view/record subcommands (reference: --screenshot/--record CLI)."""
+
+    def _obj(self, tmp_path):
+        from mesheditor_tpu.mesh import cuboid_surface, save_obj
+
+        pos, tris = cuboid_surface((0.5, 0.4, 0.3))
+        p = tmp_path / "box.obj"
+        save_obj(p, pos, tris)
+        return p
+
+    def test_view_writes_png(self, tmp_path):
+        from mesheditor_tpu.__main__ import main
+
+        obj = self._obj(tmp_path)
+        out = tmp_path / "shot.png"
+        main(["view", str(obj), "--out", str(out), "--width", "48", "--height", "36",
+              "--supersample", "1"])
+        assert out.stat().st_size > 0
+
+    def test_record_writes_gif(self, tmp_path):
+        from mesheditor_tpu.__main__ import main
+
+        obj = self._obj(tmp_path)
+        out = tmp_path / "turn.gif"
+        main(["record", str(obj), "--out", str(out), "--frames", "3",
+              "--width", "32", "--height", "24"])
+        assert out.stat().st_size > 0
