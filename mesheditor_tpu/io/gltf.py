@@ -375,6 +375,46 @@ def export_gltf(r: Registry, path) -> None:
         else:
             gltf["scenes"][0]["nodes"].append(node_index[e])
 
+    # Animations: every AnimationClipComponent becomes one document animation with
+    # per-channel samplers (times/values accessors; rotation converts wxyz -> xyzw,
+    # CUBICSPLINE flattens (k, 3, d) to the spec's 3k rows).
+    from ..scene.animation import AnimationClipComponent, Interpolation, TargetPath
+
+    animations = []
+    for e in entities:
+        acc_comp = r.get(e, AnimationClipComponent)
+        if acc_comp is None or not acc_comp.clip.channels:
+            continue
+        channels = []
+        samplers = []
+        for c in acc_comp.clip.channels:
+            if c.entity not in node_index:
+                continue
+            vals = np.asarray(c.values, np.float32)
+            if c.interpolation == Interpolation.CUBICSPLINE:
+                vals = vals.reshape(-1, vals.shape[-1])
+            if c.path == TargetPath.ROTATION:
+                if c.interpolation == Interpolation.CUBICSPLINE:
+                    vals = vals[:, [1, 2, 3, 0]]
+                else:
+                    vals = vals[:, [1, 2, 3, 0]]  # wxyz -> xyzw
+            if c.path == TargetPath.WEIGHTS:
+                vals = vals.reshape(-1)
+            t_acc = _accessor(gltf, buffers, np.asarray(c.times, np.float32))
+            v_acc = _accessor(gltf, buffers, vals)
+            samplers.append({"input": t_acc, "output": v_acc,
+                             "interpolation": c.interpolation.value})
+            channels.append({"sampler": len(samplers) - 1,
+                             "target": {"node": node_index[c.entity],
+                                        "path": c.path.value}})
+        if channels:
+            anim = {"channels": channels, "samplers": samplers}
+            if acc_comp.clip.name:
+                anim["name"] = acc_comp.clip.name
+            animations.append(anim)
+    if animations:
+        gltf["animations"] = animations
+
     doc_ext = {}
     used = []
     if audio_ext["modalModels"] or audio_ext["acousticMaterials"]:
@@ -567,6 +607,11 @@ def import_gltf(path, store_dir=None) -> Registry:
     buffers = _read_buffer(gltf, path, blob)
 
     r = Registry()
+    # Imported scenes come wired with the standard derivation pipeline, so
+    # r.process() derives world transforms / skinning without extra setup.
+    from ..scene.derive import install_default_pipeline
+
+    install_default_pipeline(r)
     audio_materials, audio_models = _import_audio_ext(gltf, buffers)
     implicit_shapes = ((gltf.get("extensions") or {}).get("KHR_implicit_shapes") or {}) \
         .get("shapes", [])
@@ -760,5 +805,44 @@ def import_gltf(path, store_dir=None) -> Registry:
             sn = r.get(node_entity[child], SceneNode)
             sn.parent = node_entity[ni]
             r.emplace(node_entity[child], sn)
+
+    # Animations -> one clip-carrying entity per document animation.
+    from ..scene.animation import (
+        AnimationChannel, AnimationClip, AnimationClipComponent, Interpolation,
+        TargetPath,
+    )
+
+    for anim in gltf.get("animations", []):
+        channels = []
+        for ch in anim.get("channels", []):
+            smp = anim["samplers"][ch["sampler"]]
+            target = ch.get("target", {})
+            ni = target.get("node")
+            path = target.get("path")
+            if ni is None or ni not in node_entity or path is None:
+                continue
+            times = _read_accessor(gltf, buffers, smp["input"]).astype(np.float64)
+            vals = _read_accessor(gltf, buffers, smp["output"]).astype(np.float64)
+            interp = Interpolation(smp.get("interpolation", "LINEAR"))
+            tp = TargetPath(path)
+            if tp == TargetPath.WEIGHTS:
+                k = times.shape[0]
+                per = (3 * k) if interp == Interpolation.CUBICSPLINE else k
+                m = max(vals.size // per, 1)
+                vals = vals.reshape(-1, m)
+            if vals.ndim == 1:
+                vals = vals.reshape(times.shape[0], -1)
+            if tp == TargetPath.ROTATION:
+                vals = vals[:, [3, 0, 1, 2]]  # xyzw -> wxyz
+            if interp == Interpolation.CUBICSPLINE:
+                vals = vals.reshape(times.shape[0], 3, -1)
+            channels.append(AnimationChannel(
+                entity=node_entity[ni], path=tp, times=times, values=vals,
+                interpolation=interp))
+        if channels:
+            ae = r.create()
+            r.emplace(ae, AnimationClipComponent(
+                clip=AnimationClip(anim.get("name", ""), channels)))
+
     r.drain_events()
     return r

@@ -108,7 +108,7 @@ def animation_frames(registry, clip, camera=None, seconds: float | None = None,
 
     settings = settings or RenderSettings(width=320, height=240)
     if seconds is None:
-        seconds = clip.duration()
+        seconds = clip.duration
     n = max(int(round(seconds * fps)), 1)
     for i in range(n):
         weights = evaluate_clip(registry, clip, i / fps)

@@ -110,3 +110,12 @@ def evaluate_clip(r: Registry, clip: AnimationClip, t: float) -> dict[int, np.nd
             tr.scale = np.asarray(v, np.float64)
         r.emplace(c.entity, tr)
     return weights
+
+
+@dataclass
+class AnimationClipComponent:
+    """An animation clip owned by a scene entity so clips persist, snapshot, and
+    travel through glTF (the document's "animations" array; reference import at
+    GltfScene.cpp animation handling)."""
+
+    clip: AnimationClip = field(default_factory=AnimationClip)

@@ -193,6 +193,13 @@ PERSISTENT_COMPONENTS = (
 DERIVED_COMPONENTS = (WorldTransform, ExciteState)
 
 
+def _register_animation_components():
+    global PERSISTENT_COMPONENTS
+    from .animation import AnimationClipComponent
+
+    PERSISTENT_COMPONENTS = PERSISTENT_COMPONENTS + (AnimationClipComponent,)
+
+
 def _register_armature_components():
     """Armature/skinning components live in scene.armature (they carry their own
     math); registered here so the snapshot coverage rule sees them."""
@@ -203,4 +210,5 @@ def _register_armature_components():
     DERIVED_COMPONENTS = DERIVED_COMPONENTS + (DeformedSurface,)
 
 
+_register_animation_components()
 _register_armature_components()

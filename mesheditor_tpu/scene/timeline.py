@@ -44,7 +44,13 @@ class Timeline:
     def __init__(self, registry: Registry, clips: list[AnimationClip] | None = None,
                  fps: float = 30.0, substeps_per_frame: int | None = None):
         self.r = registry
-        self.clips = list(clips or [])
+        if clips is None:
+            # Default to the scene's own clips (AnimationClipComponent — e.g. from a
+            # glTF import).
+            from .animation import AnimationClipComponent
+
+            clips = [c.clip for _, c in sorted(registry.view(AnimationClipComponent))]
+        self.clips = list(clips)
         self.fps = float(fps)
         self.state = TimelineComponent(fps=self.fps)
         self._world = None

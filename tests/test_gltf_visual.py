@@ -141,3 +141,100 @@ class TestTextures:
         right = img[32, 48]
         assert left[0] > left[2]    # red half
         assert right[2] > right[0]  # blue half
+
+
+class TestAnimationRoundtrip:
+    """Clips travel as document animations (channels/samplers with the spec's xyzw
+    rotation order and CUBICSPLINE row layout)."""
+
+    def _scene(self):
+        from mesheditor_tpu.scene.animation import (
+            AnimationChannel, AnimationClip, AnimationClipComponent, Interpolation,
+            TargetPath,
+        )
+
+        r = Registry()
+        install_default_pipeline(r)
+        e = r.create()
+        pos, tris = cuboid_surface((0.5, 0.5, 0.5))
+        r.emplace(e, MeshSurface(positions=pos, triangles=np.asarray(tris, np.uint32)))
+        r.emplace(e, Transform())
+        rot = np.array([[1.0, 0, 0, 0],
+                        [np.cos(0.5), 0, np.sin(0.5), 0]])  # wxyz about y
+        clip = AnimationClip("spin", [
+            AnimationChannel(entity=e, path=TargetPath.TRANSLATION,
+                             times=np.array([0.0, 1.0]),
+                             values=np.array([[0.0, 0, 0], [2.0, 1.0, 0]]),
+                             interpolation=Interpolation.LINEAR),
+            AnimationChannel(entity=e, path=TargetPath.ROTATION,
+                             times=np.array([0.0, 1.0]), values=rot,
+                             interpolation=Interpolation.LINEAR),
+        ])
+        holder = r.create()
+        r.emplace(holder, AnimationClipComponent(clip=clip))
+        return r, e
+
+    def test_roundtrip_and_playback(self, tmp_path):
+        from mesheditor_tpu.scene.animation import (
+            AnimationClipComponent, TargetPath, evaluate_clip,
+        )
+        from mesheditor_tpu.scene.components import Transform as TransformC
+
+        r, e = self._scene()
+        p = tmp_path / "anim.gltf"
+        export_gltf(r, p)
+        r2 = import_gltf(p)
+        clips = [c.clip for _, c in r2.view(AnimationClipComponent)]
+        assert len(clips) == 1
+        clip = clips[0]
+        assert clip.name == "spin"
+        paths = {c.path for c in clip.channels}
+        assert paths == {TargetPath.TRANSLATION, TargetPath.ROTATION}
+        # Play at t=0.5: translation midway, rotation normalized and about y.
+        evaluate_clip(r2, clip, 0.5)
+        target = clip.channels[0].entity
+        t = r2.get(target, TransformC)
+        assert np.allclose(t.translation, [1.0, 0.5, 0.0], atol=1e-6)
+        w, x, y, z = t.rotation
+        assert abs(x) < 1e-6 and abs(z) < 1e-6 and y > 0.01
+
+    def test_cubicspline_and_weights_roundtrip(self, tmp_path):
+        from mesheditor_tpu.scene.animation import (
+            AnimationChannel, AnimationClip, AnimationClipComponent, Interpolation,
+            TargetPath,
+        )
+
+        r = Registry()
+        e = r.create()
+        pos, tris = cuboid_surface((0.5, 0.5, 0.5))
+        targets = np.zeros((2, pos.shape[0], 3))
+        targets[0, :, 1] = 0.1
+        r.emplace(e, MeshSurface(positions=pos, triangles=np.asarray(tris, np.uint32),
+                                 morph_targets=targets,
+                                 morph_weights=np.zeros(2)))
+        k = 3
+        cubic = np.zeros((k, 3, 3))
+        cubic[:, 1] = np.linspace(0, 1, k)[:, None] * np.array([1.0, 0, 0])
+        weights_vals = np.array([[0.0, 0.0], [1.0, 0.5], [0.0, 1.0]])
+        clip = AnimationClip("c", [
+            AnimationChannel(entity=e, path=TargetPath.SCALE,
+                             times=np.linspace(0, 1, k), values=cubic,
+                             interpolation=Interpolation.CUBICSPLINE),
+            AnimationChannel(entity=e, path=TargetPath.WEIGHTS,
+                             times=np.linspace(0, 1, k), values=weights_vals,
+                             interpolation=Interpolation.LINEAR),
+        ])
+        h = r.create()
+        r.emplace(h, AnimationClipComponent(clip=clip))
+        p = tmp_path / "anim2.glb"
+        export_gltf(r, p)
+        r2 = import_gltf(p)
+        (_, comp), = r2.view(AnimationClipComponent)
+        by_path = {c.path: c for c in comp.clip.channels}
+        sc = by_path[TargetPath.SCALE]
+        assert sc.interpolation == Interpolation.CUBICSPLINE
+        assert sc.values.shape == (k, 3, 3)
+        assert np.allclose(sc.values, cubic, atol=1e-6)
+        wc = by_path[TargetPath.WEIGHTS]
+        assert wc.values.shape == (k, 2)
+        assert np.allclose(wc.values, weights_vals, atol=1e-6)
