@@ -147,14 +147,24 @@ Action = Union[
     SetModalModel, StrikeVertex, SilenceObject, SetFundamental, SetT60Scale, SetGain,
 ]
 
-_COMPONENT_BY_NAME = {
-    c.__name__: c
-    for c in (
-        Name, SceneNode, Transform, MeshSurface, AcousticMaterialRef,
-        SolveSettingsComponent, ModalModel, ModalGainComponent, ModalTuningComponent,
-        SoundVertices,
-    )
-}
+def _component_registry():
+    # Field-patchable components = every Persistent component (the reference's
+    # per-type registration, src/action/Dispatch.h:20-33); resolved lazily so late
+    # registrations (armature, animation) are included.
+    from .components import PERSISTENT_COMPONENTS
+
+    return {c.__name__: c for c in PERSISTENT_COMPONENTS}
+
+
+class _ComponentByName:
+    def get(self, name):
+        return _component_registry().get(name)
+
+    def __iter__(self):
+        return iter(_component_registry())
+
+
+_COMPONENT_BY_NAME = _ComponentByName()
 
 # Actions that write artifacts or are pure navigation are excluded from recording
 # (reference: Recordable<T> opt-outs, src/action/Action.h:46-60). Strikes ARE recorded —
