@@ -85,13 +85,36 @@ def cmd_simulate(args):
     store = args.store or tempfile.mkdtemp(prefix="mesheditor_tpu_store_")
     reg = import_gltf(args.scene, store_dir=store)
     print(f"scene: {len(reg.entities())} entities; store {store}")
+    frames = []
+    on_frame = None
+    if args.video:
+        from .render import RenderSettings, render_scene
+        from .render.camera import frame_points
+        from .render.scene_render import flatten_scene
+
+        # Frame the WORLD-space scene at t=0 with headroom for motion.
+        reg.process()
+        batch = flatten_scene(reg)
+        cam = frame_points(batch.positions if batch.positions.size else np.zeros((1, 3)),
+                           margin=2.2)
+        settings = RenderSettings(width=args.video_width, height=args.video_height)
+
+        def on_frame(r, i):
+            frames.append(render_scene(r, camera=cam, settings=settings).image())
+
     audio = simulate_scene(
         reg, store, seconds=args.seconds, tet_resolution=args.tet_resolution,
         progress=lambda p: print(f"  solve progress {p:4.0%}", end="\r"),
+        on_frame=on_frame, video_fps=args.video_fps,
     )
     peak = max(float(np.abs(audio).max()), 1e-9)
     write_wav(args.out, audio / peak * 0.9)
     print(f"simulated {args.seconds}s of physics audio -> {args.out} (peak {peak:.4f})")
+    if args.video and frames:
+        from .render.record import record
+
+        p = record(args.video, frames, fps=args.video_fps)
+        print(f"video: {len(frames)} frames -> {p}")
 
 
 def cmd_info(args):
@@ -206,6 +229,11 @@ def main(argv=None):
     sim.add_argument("--out", default="simulation.wav")
     sim.add_argument("--store", default=None, help="modal model store dir")
     sim.add_argument("--tet-resolution", type=int, default=24)
+    sim.add_argument("--video", default=None,
+                     help="also record the simulation (gif/mp4/png path)")
+    sim.add_argument("--video-fps", type=float, default=30.0)
+    sim.add_argument("--video-width", type=int, default=480)
+    sim.add_argument("--video-height", type=int, default=360)
     sim.set_defaults(fn=cmd_simulate)
 
     i = sub.add_parser("info", help="inspect a modal model file")

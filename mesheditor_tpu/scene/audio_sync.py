@@ -293,13 +293,19 @@ def simulate_scene(
     gravity=(0.0, -9.81, 0.0),
     tet_resolution: int = 24,
     progress=None,
+    on_frame=None,
+    video_fps: float = 30.0,
 ) -> np.ndarray:
     """The reference's headline loop, scene-in/audio-out: entities carrying both a
     rigid body and an acoustic setup fall, collide, scrape — and sound. Solves what
     is stale (SceneAudio.reconcile), builds the physics world from the rigid-body
     components, bridges contact reports into strikes and sustained voices each audio
     block, and writes the simulated poses back onto the entities at the end
-    (reference: AudioSystem::Process + PhysicsSystem step ordering)."""
+    (reference: AudioSystem::Process + PhysicsSystem step ordering).
+
+    `on_frame(registry, frame_index)` fires at the `video_fps` frame clock with the
+    current simulated poses written back and derived — render there for audio-locked
+    video (the reference's --record capture of a playing scene)."""
     from ..physics.bridge import AudioBody, AudioContactBridge
     from ..physics.scene_build import build_world, write_back_poses
     from ..synth.contact import ContactDynamics, inverse_inertia_tensor
@@ -329,14 +335,22 @@ def simulate_scene(
     total_blocks = int(np.ceil(seconds * sample_rate / block_size))
     out = np.zeros(total_blocks * block_size, np.float32)
     carry = 0.0
+    sim_t = 0.0
+    next_frame = 0
     for blk in range(total_blocks):
         carry += block_size / sample_rate / world.dt
         steps = int(carry)
         carry -= steps
         for _ in range(steps):
             world.step()
+            sim_t += world.dt
             if bridge is not None and world.impacts:
                 bridge.on_impacts(world.impacts)
+            if on_frame is not None and sim_t * video_fps >= next_frame:
+                write_back_poses(registry, world, handles)
+                registry.process()
+                on_frame(registry, next_frame)
+                next_frame += 1
         if bridge is not None:
             sa.synth.publish_voices(bridge.resolve_voices(world.sustained, sample_rate))
             out[blk * block_size:(blk + 1) * block_size] = np.asarray(

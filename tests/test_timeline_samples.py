@@ -179,3 +179,37 @@ class TestSamplesModeRouting:
         out2 = sa.render_with_samples(4096)
         assert not np.allclose(out2, 0.0)
         assert np.abs(out2).max() != 0.25
+
+
+class TestSimulateVideo:
+    def test_on_frame_fires_at_video_clock(self, tmp_path):
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.scene.audio_sync import simulate_scene
+        from mesheditor_tpu.scene.components import (
+            AcousticMaterialRef, RigidBodyComponent, SolveSettingsComponent,
+        )
+
+        r = Registry()
+        install_default_pipeline(r)
+        floor = r.create()
+        r.emplace(floor, RigidBodyComponent(shape_kind="plane"))
+        ball = r.create()
+        pos, tris = icosphere_surface(1)
+        r.emplace(ball, MeshSurface(positions=pos * 0.12,
+                                    triangles=np.asarray(tris, np.uint32)))
+        r.emplace(ball, Transform(translation=np.array([0.0, 0.5, 0.0])))
+        r.emplace(ball, RigidBodyComponent(shape_kind="sphere", radius=0.12,
+                                           is_dynamic=True, mass=1.0))
+        r.emplace(ball, AcousticMaterialRef())
+        r.emplace(ball, SolveSettingsComponent(num_modes=6, num_vertices=4,
+                                               max_mode_freq=48000.0))
+        ys = []
+
+        def on_frame(reg, i):
+            ys.append(float(reg.get(ball, Transform).translation[1]))
+
+        audio = simulate_scene(r, tmp_path, seconds=0.5, tet_resolution=8,
+                               on_frame=on_frame, video_fps=20.0)
+        assert np.isfinite(audio).all()
+        assert 8 <= len(ys) <= 11          # ~0.5 s at 20 fps
+        assert ys[0] > ys[-1]              # the ball fell across the frames
