@@ -28,6 +28,9 @@ class RenderSettings:
     supersample: int = 1
     background: tuple = (0.125, 0.133, 0.153)
     ambient: tuple = (0.06, 0.06, 0.07)
+    # Hemisphere environment light (sky above, ground below); zeros disable.
+    sky: tuple = (0.0, 0.0, 0.0)
+    ground: tuple = (0.0, 0.0, 0.0)
     chunk: int = 8
 
 
@@ -188,6 +191,7 @@ class SceneRenderer:
                 wireframe=s.mode == "wireframe",
                 wire_only=s.mode == "wireframe_only",
                 uvs=self.batch.uvs, atlas=self.batch.atlas,
+                sky=s.sky, ground=s.ground,
             )
             img = np.asarray(img)
         ss = max(int(s.supersample), 1)

@@ -171,7 +171,7 @@ def _sample_atlas(atlas, rect, obj, uv):
 def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extras,
                 flat, wireframe, wire_only, uvs=None, tex=None):
     depth, tri, bary = gbuf
-    eye, ambient, background, wire_color, wire_eps = extras
+    eye, ambient, background, wire_color, wire_eps = extras[:5]
     valid = tri >= 0
     t = jnp.maximum(tri, 0)
     vid = tris[t]                      # (H, W, 3)
@@ -197,6 +197,14 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
     roughness = materials.roughness[obj]
     emissive = materials.emissive[obj]
 
+    # Hemisphere environment term (the IBL-lite analog of the reference's prefiltered
+    # environment lighting, src/render/IblPrefilterPipelines.h): sky/ground colors
+    # blended by the normal's up-ness, replacing the flat ambient when enabled.
+    sky, ground = extras[5], extras[6]
+    upness = 0.5 * (n[..., 1] + 1.0)
+    hemi = sky[None, None, :] * upness[..., None] \
+        + ground[None, None, :] * (1.0 - upness[..., None])
+
     def add_light(color, i):
         kind = lights.kind[i]
         lpos = lights.position[i]
@@ -214,7 +222,7 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
         contrib = _ggx_brdf(n, view, l, albedo, metallic, roughness)
         return color + contrib * (lcol[None, None, :] * atten[..., None]), None
 
-    color = emissive + ambient[None, None, :] * albedo
+    color = emissive + (ambient[None, None, :] + hemi) * albedo
     color, _ = jax.lax.scan(add_light, color, jnp.arange(lights.kind.shape[0]))
 
     # Reinhard tone map + gamma 2.2 (deterministic, no exposure adaptation).
@@ -237,10 +245,12 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
           lights: LightBank, eye, ambient=(0.06, 0.06, 0.07),
           background=(0.125, 0.133, 0.153), flat=False, wireframe=False,
           wire_only=False, wire_color=(0.9, 0.65, 0.1), wire_eps=0.02,
-          uvs=None, atlas: TextureAtlas | None = None):
+          uvs=None, atlas: TextureAtlas | None = None,
+          sky=(0.0, 0.0, 0.0), ground=(0.0, 0.0, 0.0)):
     """Light the G-buffer. positions/normals are world-space per-vertex arrays;
     tri_obj maps each triangle to its object row in `materials`. With `uvs` (N, 2)
-    and a TextureAtlas, base color is modulated by the sampled texture."""
+    and a TextureAtlas, base color is modulated by the sampled texture. Nonzero
+    sky/ground add a hemisphere environment term on top of the flat ambient."""
     tris = jnp.asarray(np.asarray(tris, np.int32).reshape(-1, 3))
     extras = (
         jnp.asarray(eye, jnp.float32),
@@ -248,6 +258,8 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
         jnp.asarray(background, jnp.float32),
         jnp.asarray(wire_color, jnp.float32),
         jnp.float32(wire_eps),
+        jnp.asarray(sky, jnp.float32),
+        jnp.asarray(ground, jnp.float32),
     )
     uv_arr = None
     if atlas is not None and uvs is not None:

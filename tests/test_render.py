@@ -313,3 +313,25 @@ class TestSceneRender:
         save_png(pa, img)
         save_png(pb, img)
         assert pa.read_bytes() == pb.read_bytes()
+
+
+class TestHemisphereLight:
+    def test_sky_brightens_up_faces(self):
+        from mesheditor_tpu.mesh import cuboid_surface
+        from mesheditor_tpu.scene.components import MeshSurface
+        from mesheditor_tpu.scene.derive import install_default_pipeline
+        from mesheditor_tpu.scene.registry import Registry
+
+        r = Registry()
+        install_default_pipeline(r)
+        e = r.create()
+        pos, tris = cuboid_surface((0.5, 0.5, 0.5))
+        r.emplace(e, MeshSurface(positions=pos, triangles=np.asarray(tris, np.uint32)))
+        cam = Camera(eye=np.array([1.5, 1.8, 2.2]), target=np.zeros(3), near=0.1,
+                     far=20.0)
+        base = render_scene(r, camera=cam, settings=RenderSettings(48, 48)).image()
+        lit = render_scene(r, camera=cam, settings=RenderSettings(
+            48, 48, sky=(0.6, 0.6, 0.7), ground=(0.05, 0.04, 0.03))).image()
+        # The environment adds light; up-facing pixels gain the most.
+        assert lit.mean() > base.mean()
+        assert not np.array_equal(base, lit)
