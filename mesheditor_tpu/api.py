@@ -81,7 +81,26 @@ def solve_surface(
         except Exception:
             tets = None
         if tets is None:
-            tets = generate_tets(positions, tris, resolution=tet_resolution)
+            try:
+                tets = generate_tets(positions, tris, resolution=tet_resolution)
+            except ValueError as exc:
+                # Diagnose the failure with topology before re-raising (the reference
+                # returns tetrahedralization error strings, Tetrahedralize.h:44-60):
+                # open boundaries are the usual cause of "no interior".
+                try:
+                    from .mesh.halfedge import build_halfedge
+
+                    he = build_halfedge(positions, tris)
+                    nb = int(np.asarray(he.boundary_halfedges()).size)
+                    if nb:
+                        raise ValueError(
+                            f"tetrahedralization failed: surface is not closed "
+                            f"({nb} boundary half-edges); {exc}") from exc
+                except ValueError:
+                    raise
+                except Exception:
+                    pass
+                raise
     if excite_positions is None:
         # Evenly spaced surface vertices, as the reference picks when none are assigned
         # (AudioSystem.cpp:953-957).
