@@ -188,6 +188,14 @@ def cmd_view(args):
         img = view.image()
         n = len(view.batch.entities)
         print(f"scene: {n} mesh entities, {view.batch.triangles.shape[0]} triangles")
+        if args.debug_physics:
+            from .physics.scene_build import build_world
+            from .render.debug_draw import draw_physics_debug
+
+            world, _ = build_world(r)
+            if world.bodies:
+                img = draw_physics_debug(img, world, view.camera)
+                print(f"debug overlay: {len(world.bodies)} collider wireframes")
     else:
         from .mesh import load_obj, load_ply
 
@@ -264,6 +272,8 @@ def main(argv=None):
     v.add_argument("--supersample", type=int, default=2)
     v.add_argument("--azimuth", type=float, default=-60.0)
     v.add_argument("--elevation", type=float, default=25.0)
+    v.add_argument("--debug-physics", action="store_true",
+                   help="overlay collider wireframes (glTF scenes)")
     v.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)
