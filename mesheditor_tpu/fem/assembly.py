@@ -109,6 +109,49 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclass(frozen=True)
+class ShiftedElementOperator:
+    """Prebaked f32 element form of A = K - sigma*M for the preconditioner's inner solve.
+
+    The PCG preconditioner applies the shifted pencil once per inner iteration; baking the
+    shift into one (E, 30, 30) block array halves the gather/matmul/scatter traffic versus
+    applying K and M separately (the shift-combination is linear in the element blocks:
+    A_e = K_e - sigma * rho*V_e * m_unit)."""
+
+    elem_dofs: jax.Array
+    a_blocks: jax.Array  # (E, 30, 30) f32
+    a_fix: jax.Array  # (n_dofs,) f32 orphan-dof fixup, see ElementOperators.k_fix
+    n_dofs: int
+
+    def amat(self, x: jax.Array) -> jax.Array:
+        y = _apply_k(self.elem_dofs, self.a_blocks, x, self.n_dofs)
+        return y + (self.a_fix[:, None] * x if x.ndim > 1 else self.a_fix * x)
+
+
+jax.tree_util.register_dataclass(
+    ShiftedElementOperator,
+    data_fields=("elem_dofs", "a_blocks", "a_fix"),
+    meta_fields=("n_dofs",),
+)
+
+
+@jax.jit
+def _bake_shifted_blocks(k_blocks_f32, rho_vol_f32, m_unit, k_fix, m_fix, sigma):
+    m32 = m_unit.astype(jnp.float32)
+    a = k_blocks_f32 - sigma * (rho_vol_f32[:, None, None] * m32[None])
+    fix = (k_fix - sigma * m_fix).astype(jnp.float32)
+    return a, fix
+
+
+def bake_shifted_f32(ops: ElementOperators, sigma: float) -> ShiftedElementOperator:
+    """One fused f32 operator for (K - sigma*M), built on device."""
+    a, fix = _bake_shifted_blocks(
+        ops.k_blocks_f32, ops.rho_vol_f32, ops.m_unit, ops.k_fix, ops.m_fix,
+        jnp.float32(sigma),
+    )
+    return ShiftedElementOperator(ops.elem_dofs, a, fix, ops.n_dofs)
+
+
 # Elements per matvec chunk: f64 dots on TPU are emulated by algebraic expansion, whose
 # temporary is O(chunk * 30 * 30 * panel) — chunking keeps it bounded (~hundreds of MB)
 # instead of the full-mesh expansion that blows past HBM on corpus-sized solves.
@@ -281,8 +324,26 @@ def assemble_element_matrices(
     rho_vol = (material.density * volume).astype(dtype)
     touched = np.zeros(n_dofs, bool)
     touched[np.unique(np.asarray(elem_dofs).reshape(-1))] = True
-    k_fix = jnp.asarray(np.where(touched, 0.0, 1.0), dtype)
-    m_fix = jnp.asarray(np.where(touched, 0.0, 1e-20), dtype)
+    # Orphan-dof parking must be SCALE-AWARE: parking at k/m = 1e20 (round 1) made the
+    # parked directions' Gram entries ~1e20, whose float32 rounding noise (~1e13) is
+    # the size of the real spectrum and poisons the f32 Rayleigh-Ritz with huge
+    # spurious negative Ritz values. Parking at ~100x the pencil's own lambda_max
+    # keeps orphans sorted far above the audible window at healthy f32 magnitudes.
+    k_diag_e = np.asarray(jnp.diagonal(k_blocks, axis1=1, axis2=2), np.float64)
+    m_diag_e = np.asarray(rho_vol, np.float64)[:, None] * np.diag(np.asarray(m_unit))[None, :]
+    flat_ids = np.asarray(elem_dofs).reshape(-1)
+    k_diag_raw = np.zeros(n_dofs)
+    m_diag_raw = np.zeros(n_dofs)
+    np.add.at(k_diag_raw, flat_ids, k_diag_e.reshape(-1))
+    np.add.at(m_diag_raw, flat_ids, m_diag_e.reshape(-1))
+    live = touched & (m_diag_raw > 0)
+    if live.any():
+        lam_est = float((k_diag_raw[live] / m_diag_raw[live]).max())
+        m_scale = float(np.median(m_diag_raw[live]))
+    else:
+        lam_est, m_scale = 1.0, 1.0
+    k_fix = jnp.asarray(np.where(touched, 0.0, 100.0 * lam_est * m_scale), dtype)
+    m_fix = jnp.asarray(np.where(touched, 0.0, m_scale), dtype)
     return ElementOperators(
         elem_dofs=elem_dofs,
         k_blocks=k_blocks.astype(dtype),

@@ -1,5 +1,6 @@
 from .primitives import (
     bar_tets,
+    bowl_surface,
     box_tets,
     circle_surface,
     cone_surface,
@@ -8,6 +9,7 @@ from .primitives import (
     grid_box_surface,
     icosphere_surface,
     plane_surface,
+    shell_surface,
     torus_surface,
     uv_sphere_surface,
 )
@@ -16,6 +18,8 @@ from .ply_io import load_ply, save_ply
 
 __all__ = [
     "bar_tets",
+    "bowl_surface",
+    "shell_surface",
     "box_tets",
     "cuboid_surface",
     "cylinder_surface",

@@ -34,6 +34,8 @@ class TetProfile:
     carved_out: int = 0
     slivers_dropped: int = 0
     tets_kept: int = 0
+    thin_wall_seeds: int = 0  # mid-thickness interval seeds (thin-shell starvation fix)
+    sliver_repairs: int = 0  # circumcenter/midpoint insertions that excavated slivers
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libtetmesher.so"
@@ -84,7 +86,7 @@ def generate_tets_delaunay(
     scale = ctypes.c_double(0.0)
     ntets = ctypes.c_uint64(0)
     npts = ctypes.c_uint64(0)
-    prof = (ctypes.c_double * 8)()
+    prof = (ctypes.c_double * 10)()
     p_pts = pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     p_tris = tt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
     rc = lib.tetmesh_delaunay(
@@ -111,5 +113,6 @@ def generate_tets_delaunay(
     if profile is not None:
         (profile.lattice_points, profile.recovery_steiner, profile.refine_points,
          profile.recovery_rounds, profile.refine_passes, profile.carved_out,
-         profile.slivers_dropped, profile.tets_kept) = (int(v) for v in prof)
+         profile.slivers_dropped, profile.tets_kept, profile.thin_wall_seeds,
+         profile.sliver_repairs) = (int(v) for v in prof)
     return TetMesh(points=out_pts[: cap_p.value], tets=out_tets[: cap_t.value])

@@ -236,3 +236,79 @@ def cylinder_surface(radius=0.5, height=1.0, n_seg=32):
         tris.extend([[ct, i, j], [cb, n_seg + j, n_seg + i]])  # caps
         tris.extend([[i, n_seg + i, n_seg + j], [i, n_seg + j, j]])  # side
     return pts, np.asarray(tris, dtype=np.uint32)
+
+
+def shell_surface(pts: np.ndarray, tris: np.ndarray, thickness: float):
+    """Closed thin shell from a closed surface: inner skin offset inward along
+    area-weighted vertex normals, with flipped orientation. The thin-walled regime the
+    reference's corpus lives in (RealImpact bowls/plates are 2-5% wall-thickness scans;
+    /root/reference/tests/ModalSolverTest.cpp:316-349 pins them through the mesher)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    tris = np.asarray(tris, dtype=np.int64)
+    a, b, c = pts[tris[:, 0]], pts[tris[:, 1]], pts[tris[:, 2]]
+    fn = np.cross(b - a, c - a)  # area-weighted face normals (outward)
+    vn = np.zeros_like(pts)
+    for k in range(3):
+        np.add.at(vn, tris[:, k], fn)
+    norms = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn /= np.maximum(norms, 1e-300)
+    inner = pts - thickness * vn
+    n = pts.shape[0]
+    tris_in = tris[:, ::-1] + n  # flipped orientation, offset ids
+    return np.concatenate([pts, inner]), np.concatenate([tris, tris_in]).astype(np.uint32)
+
+
+def bowl_surface(radius=0.06, thickness=0.004, n_lat=10, n_lon=32, rim_z=0.0,
+                 noise: float = 0.0, seed: int = 0):
+    """Hemispherical bowl shell: outer hemisphere, inner hemisphere (radius - thickness),
+    flat rim annulus. Optional vertex jitter models scanned geometry. Closed, watertight,
+    outward-oriented."""
+    assert thickness < radius
+    ang = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    ca, sa = np.cos(ang), np.sin(ang)
+
+    def hemi(r, flip):
+        # Rings from rim (theta=0, z=rim_z) toward the bottom pole (z=rim_z - r).
+        rings = []
+        for i in range(n_lat):
+            th = (i / n_lat) * (np.pi / 2)
+            rr, z = r * np.cos(th), rim_z - r * np.sin(th)
+            rings.append(np.stack([rr * ca, rr * sa, np.full(n_lon, z)], axis=1))
+        pole = np.array([[0.0, 0.0, rim_z - r]])
+        return np.concatenate(rings + [pole])
+
+    outer = hemi(radius, False)
+    inner = hemi(radius - thickness, True)
+    n_out = outer.shape[0]
+    pts = np.concatenate([outer, inner])
+    tris = []
+
+    def ring_band(base, flip):
+        for i in range(n_lat - 1):
+            for j in range(n_lon):
+                k = (j + 1) % n_lon
+                a0, a1 = base + i * n_lon + j, base + i * n_lon + k
+                b0, b1 = base + (i + 1) * n_lon + j, base + (i + 1) * n_lon + k
+                t1, t2 = [a0, b0, a1], [a1, b0, b1]
+                if flip:
+                    t1, t2 = t1[::-1], t2[::-1]
+                tris.extend([t1, t2])
+        pole = base + n_lat * n_lon
+        last = base + (n_lat - 1) * n_lon
+        for j in range(n_lon):
+            k = (j + 1) % n_lon
+            t = [last + j, pole, last + k]
+            tris.append(t[::-1] if flip else t)
+
+    ring_band(0, False)       # outer skin, outward normals (down/out)
+    ring_band(n_out, True)    # inner skin, normals point up/in (flipped)
+    for j in range(n_lon):    # rim annulus at z=rim_z, normals +z
+        k = (j + 1) % n_lon
+        o0, o1 = j, k                      # outer rim ring (first outer ring)
+        i0, i1 = n_out + j, n_out + k      # inner rim ring
+        tris.extend([[o0, o1, i0], [o1, i1, i0]])
+    pts = np.asarray(pts)
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        pts = pts + rng.uniform(-noise, noise, size=pts.shape) * thickness
+    return pts, np.asarray(tris, dtype=np.uint32)

@@ -6,26 +6,49 @@ pencil: no sparse factorization exists on TPU, so the shift-invert role moves in
 preconditioner — a fixed-iteration Jacobi-PCG solve of (K - sigma*M) z = r, with the same
 negative shift sigma = -(2*pi*min_freq)^2 that keeps the operator positive definite.
 
-Split of labor (the TPU-idiomatic shape of the algorithm):
-- DEVICE (jitted, panel-sized): all operator applications — element-form K/M matvecs
-  (batched 30x30 matmuls + segment-sum), the blocked PCG preconditioner, panel
-  projections/normalizations, and the 3p x 3p Gram matrices.
-- HOST (numpy/LAPACK, O(p^3)): the reduced Rayleigh-Ritz eigenproblem. The backend's own
-  eigh (a QDWH-style iteration) returns NaNs on RR matrices whose spectrum mixes a
-  converged near-zero cluster with 1e8-scale values, and the TPU runtime here has no host
-  callbacks — so the small dense solve lives between the two jitted stages instead. The
-  traffic is only the Gram matrices down and the (3p, p) recombination weights up.
+Two-stage mixed precision (the TPU-idiomatic shape of the algorithm):
+
+1. **f32 subspace stage** — the whole LOBPCG iteration runs in float32 on device:
+   element-form operator panels, the blocked PCG preconditioner (on ONE prebaked
+   A = K - sigma*M block array), the 3p-basis Gram matrices, and the Rayleigh-Ritz
+   reduced eigensolve itself (jnp.linalg.eigh after guarded whitening). One dispatch per
+   iteration; the only host traffic is the (p,) Ritz values for the settling check, and
+   that download is pipelined one iteration behind the device. f32 Rayleigh-Ritz noise is
+   ~eps32 * lambda_max, so this stage converges the SUBSPACE to f32 accuracy, not the
+   eigenvalues to solver tolerance.
+
+   The pencil is applied FRESH to every block of [X | W | P] each iteration — K/M
+   products are never carried through the Rayleigh-Ritz recombination. Carrying them
+   (the round-1 design) is catastrophically wrong in f32: recombining low-Rayleigh-
+   quotient Ritz vectors out of high-energy basis columns cancels ~theta_max/theta
+   digits, so carried K S drifted ~1e-3 relative after ONE iteration on a stiff ceramic
+   pencil, making the (a, b) Gram pair mutually inconsistent — Rayleigh-Ritz then
+   produces huge spurious NEGATIVE Ritz values (the pencil is PSD) that hijack the sort
+   and the iteration diverges. Fresh application costs 4 extra p-panel matvecs per
+   iteration on top of the inner PCG's ~16 and buys Grams that are exact-to-eps32
+   functions of the actual basis.
+
+2. **f64 polish stage** — a [X | W] block Rayleigh-Ritz refinement in float64 over the
+   f32-converged basis: residuals and Gram matrices in f64 (eigenvalue error is quadratic
+   in the remaining subspace error, so a couple of iterations recover full f64-grade
+   values), with the preconditioner still running f32 on the MXU. This is where the 0.1%
+   reference-parity gate (and the reference's 1e-8 default tolerance,
+   src/audio/mesh2modes.h:17-26) is actually enforced: the settling criterion of the
+   reference's SubspaceIterate (mesh2modes.cpp:403-410) runs here on f64 Ritz values.
+
+Everything stays device-resident across the whole solve — basis panels, recombination
+weights, Gram matrices, and both reduced eigensolves. The host sees only (p,)-sized Ritz
+value vectors. (The axon tunnel uploads at ~1-2 MB/s, so any per-iteration panel or
+weight upload would dominate wall-clock; the round-1 design that shipped Gram matrices to
+a host LAPACK Rayleigh-Ritz spent ~0.7 s/iteration on that alone.)
 
 Compile discipline: the jitted stages are MODULE-LEVEL functions taking the element
 operators, diagonals, and shift as arguments — jax.jit caches on function identity, so
-closures defined inside the solver recompiled ~23 s of XLA programs on EVERY solve (the
-xprof trace showed 4 backend_compile calls per warm run). Module-level stages compile
-once per shape for the process lifetime. A closure-based fallback remains for callers
-that pass bare kmat/mmat callables without an ElementOperators-style op_state.
+closures defined inside the solver would recompile on every solve. A closure-based f64
+fallback remains for callers that pass bare kmat/mmat callables without an
+ElementOperators op_state.
 
-Panels stay on device across the whole solve; K X and M X are carried through the
-recombination (ks @ c, ms @ c) so each iteration applies the pencil only to the W and P
-blocks. Warm starts seed the panel with a prior basis, reproducing the reference's
+Warm starts seed the f32 panel with a prior basis, reproducing the reference's
 SolveReuse semantics (mesh2modes.h:63-68).
 """
 
@@ -58,11 +81,34 @@ def _col_dots(a, b):
     return jnp.einsum("np,np->p", a, b)
 
 
+def _tiny(dtype):
+    return 1e-300 if dtype == jnp.float64 else 1e-30
+
+
+def _gram64(s, ks):
+    """Gram matrix of f32 panels, accumulated in f64.
+
+    An f32 accumulation of s.T @ K s carries absolute noise ~sqrt(q)*eps32*lambda_max,
+    which for stiff pencils (ceramic, lambda_max ~ 1e15-16) is 1e9+ — the size of (or
+    far above) the entire audible eigenvalue window, and the whitening in the reduced
+    solve amplifies it further into spurious negative Ritz values that hijack the sort.
+    f64 accumulation pins the Gram to the representation accuracy of the f32 panels
+    themselves; at (n, 3p) panel sizes the emulated-f64 matmul is one ~n*(3p)^2 MAC
+    pass, small next to the inner PCG's element matvecs."""
+    return jnp.einsum("ni,nj->ij", s, ks, preferred_element_type=jnp.float64)
+
+
+def _live_eps(dtype):
+    # Projection-survival threshold: a W/P column whose M-norm collapses below
+    # sqrt(eps) of its pre-projection norm is numerically inside span(X); keeping it
+    # would amplify cancellation noise into the trial space.
+    return 1e-14 if dtype == jnp.float64 else 1e-8
+
+
 def _pcg_block(apply_a, precond, b, iters):
     """Fixed-iteration preconditioned CG for A X = B, columns independent, X0 = 0.
-    `precond` maps residual panels to preconditioned panels (Jacobi by default;
-    element-by-element additive Schwarz when the caller provides one)."""
-    if not callable(precond):  # backward compatibility: an inv-diagonal array
+    `precond` maps residual panels to preconditioned panels (Jacobi by default)."""
+    if not callable(precond):  # an inv-diagonal array
         inv_diag = precond
         precond = lambda r: inv_diag[:, None] * r  # noqa: E731
     x = jnp.zeros_like(b)
@@ -89,13 +135,12 @@ def _pcg_block(apply_a, precond, b, iters):
 
 
 def _solve_reduced(a: np.ndarray, b: np.ndarray, p_want: int):
-    """Host Rayleigh-Ritz: lowest p_want Ritz pairs of the reduced pencil (a, b).
+    """Host Rayleigh-Ritz (legacy closure path): lowest p_want Ritz pairs of (a, b).
 
     Whitens by b's eigendecomposition with a loose cutoff (whitening by 1/sqrt of a
     barely-alive Gram eigenvalue amplifies noise into the spectrum); masked directions get
     a scale-relative above-spectrum penalty so they sort past the wanted window while
-    LAPACK never sees values spanning hundreds of orders of magnitude. Returns
-    (theta (p_want,), c (q, p_want)) with c B-orthonormal on live directions."""
+    LAPACK never sees values spanning hundreds of orders of magnitude."""
     a = 0.5 * (a + a.T)
     b = 0.5 * (b + b.T)
     bw, bu = np.linalg.eigh(b)
@@ -112,136 +157,386 @@ def _solve_reduced(a: np.ndarray, b: np.ndarray, p_want: int):
     return theta[:p_want], np.ascontiguousarray(c[:, :p_want])
 
 
+@partial(jax.jit, static_argnames=("p_want",))
+def _rr_device(a, b, p_want: int, eps_b, s_hint):
+    """Device Rayleigh-Ritz via SPECTRAL FOLD — no f64 eigh anywhere.
+
+    The direct approach (whiten b, f64 eigh of the whitened h) is numerically right but
+    physically impossible on TPU: f64 eigh is software-emulated and a single 800^2
+    factorization runs for MINUTES (measured: >580 s at 813^2 on v5e — it is an
+    iterative algorithm whose every sweep pays the emulation tax). f32 eigh is fast
+    (~40 ms at 813^2) but cannot see the wanted spectrum: h's norm is the basis's worst
+    Rayleigh quotient (~1e16 for stiff ceramic pencils) while the audible window ends
+    ~1e10, so eigh's absolute backward error eps32*||h|| (~1e9) swamps every wanted
+    eigenvalue.
+
+    The fold flips that conditioning. Everything EXPENSIVE stays f32/fast; everything
+    f64 is Cholesky/matmul-shaped (tens of ms emulated — direct algorithms, unlike
+    eigh):
+
+      1. whiten b by its f32 eigh (b has unit-M-norm columns; it is O(1)-conditioned
+         apart from near-dependent directions, which are cut at eps_b and parked by a
+         diagonal penalty far above the window)
+      2. h = w^T a w in f64; fold g = (h + s*I)^{-1} by f64 Cholesky + triangular solve
+      3. f32 eigh of g: the wanted (lowest-theta) modes are now the LARGEST eigenvalues
+         mu = 1/(theta+s), at the top of g's spectrum where f32's eps32*||g|| absolute
+         noise is RELATIVELY small. High-lambda junk mixes into the selection at
+         amplitude ~eps32*(theta+s)/s — with s at the top of the wanted window, ~1e-6.
+      4. a SECOND fold inside the selected p_want-dim window (now spanning only
+         ~[sigma, 1e10]) with s2 at the window's geometric mean re-resolves the
+         low-frequency end that the wide first fold blurred.
+      5. returned theta are EXACT f64 Rayleigh quotients of the actual returned
+         columns (diag ratios of the projected Grams) — f64-grade settling values from
+         f32 factorizations. Eigenvalue error is quadratic in the remaining subspace
+         error, so these reach ~1e-7-relative floors while panels stay f32.
+
+    s_hint is the previous iteration's top wanted Ritz value (a DEVICE scalar — it
+    never crosses the tunnel); the fold shift adapts to it."""
+    f64 = jnp.float64
+    a = 0.5 * (a + a.T).astype(f64)
+    b = 0.5 * (b + b.T).astype(f64)
+    n3 = a.shape[0]
+    # 1. b-whiten in f32 (b is well-scaled by construction).
+    bw, bu = jnp.linalg.eigh(b.astype(jnp.float32))
+    bw = bw.astype(f64)
+    b_max = jnp.maximum(jnp.max(jnp.abs(bw)), 1e-300)
+    good = bw > eps_b.astype(f64) * b_max
+    inv_sqrt = jnp.where(good, jax.lax.rsqrt(jnp.where(good, bw, 1.0)), 0.0)
+    w = bu.astype(f64) * inv_sqrt[None, :]
+    # 2. whitened pencil + dead-direction parking + first (wide) fold.
+    h = w.T @ (a @ w)
+    h = 0.5 * (h + h.T)
+    hdiag_max = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(h))), 1.0)
+    penalty = 10.0 * hdiag_max
+    h = h + jnp.diag(jnp.where(good, 0.0, penalty))
+    # Shift: at least the top wanted Ritz value, and large enough that h + s*I stays
+    # positive under the f32-whitening noise floor (~eps32 * ||h||).
+    s = jnp.maximum(jnp.maximum(s_hint.astype(f64), 1e-5 * hdiag_max), 1.0)
+    ell = jnp.linalg.cholesky(h + s * jnp.eye(n3, dtype=f64))
+    linv = jax.scipy.linalg.solve_triangular(ell, jnp.eye(n3, dtype=f64), lower=True)
+    g = linv.T @ linv  # (h + s I)^{-1}
+    mu, y = jnp.linalg.eigh(g.astype(jnp.float32))  # ascending mu
+    sel = y[:, ::-1][:, :p_want].astype(f64)  # descending mu = ascending theta
+    c1 = w @ sel
+    # 3. second (window) fold over the selected subspace.
+    a2 = c1.T @ (a @ c1)
+    b2 = c1.T @ (b @ c1)
+    a2 = 0.5 * (a2 + a2.T)
+    b2 = 0.5 * (b2 + b2.T) + 1e-10 * jnp.eye(p_want, dtype=f64)
+    ell2 = jnp.linalg.cholesky(b2)
+    e_p = jnp.eye(p_want, dtype=f64)
+    l2inv = jax.scipy.linalg.solve_triangular(ell2, e_p, lower=True)
+    h2 = l2inv @ (a2 @ l2inv.T)
+    h2 = 0.5 * (h2 + h2.T)
+    d2 = jnp.diagonal(h2)
+    d_max = jnp.maximum(jnp.max(d2), 1.0)
+    d_min = jnp.maximum(jnp.min(d2), 1e-7 * d_max)
+    s2 = jnp.sqrt(d_min * d_max)
+    ell3 = jnp.linalg.cholesky(h2 + s2 * e_p)
+    l3inv = jax.scipy.linalg.solve_triangular(ell3, e_p, lower=True)
+    g2 = l3inv.T @ l3inv
+    mu2, y2 = jnp.linalg.eigh(g2.astype(jnp.float32))
+    sel2 = y2[:, ::-1].astype(f64)  # ascending theta
+    c = c1 @ (l2inv.T @ sel2)
+    # 4. exact f64 Rayleigh quotients of the actual columns; unit-b-norm; sorted.
+    ac = a @ c
+    bc = b @ c
+    num = jnp.einsum("ij,ij->j", c, ac)
+    den = jnp.einsum("ij,ij->j", c, bc)
+    den = jnp.maximum(den, 1e-300)
+    theta = num / den
+    c = c * jax.lax.rsqrt(den)[None, :]
+    order = jnp.argsort(theta)
+    return theta[order], c[:, order]
+
+
 def _normalize_cols(block, mb):
     """Scale columns to unit M-norm; columns with no mass become exact zeros."""
     cn = _col_dots(block, mb)
-    live = cn > 1e-300
-    d = jnp.where(live, 1.0 / jnp.sqrt(jnp.where(live, cn, 1.0)), 0.0)
+    live = cn > _tiny(block.dtype)
+    d = jnp.where(live, jax.lax.rsqrt(jnp.where(live, cn, 1.0)), 0.0)
     return block * d[None, :], mb * d[None, :]
 
 
-# ---- module-level jitted stages (the ElementOperators fast path) ----
+# ---- main iteration stage (module-level jitted; one dispatch per iteration) ----
+#
+# Panels are f32 (HBM traffic, MXU matmuls); the pencil is applied to the X block in
+# f64 and to the W/P blocks in f32. Why the split works: applying K to a CONVERGED
+# column cancels catastrophically — per-element products ~||K_e||*|x| sum to the tiny
+# theta*M*x, a ~1e5x cancellation at FEM conditioning, so an f32 apply leaves only ~2
+# digits and the X-block Gram entries (the wanted Ritz values) drown. W/P columns have
+# Rayleigh quotients near lambda_max where the apply does NOT cancel, so their f32
+# Grams carry eps32-relative errors; those enter the wanted Ritz values only
+# quadratically over the (theta_w - theta_x ~ 1e13) gap — sub-0.1-absolute. Measured
+# on a CDT ceramic cube: all-f32 Grams are 36% inconsistent (PSD violations half the
+# norm); this mixed scheme is eps64-grade on the X block at ~1/3 the f64-everything
+# cost (f64 emulated matmul is ~4-5x f32 on v5e).
 
 
 @jax.jit
-def _ops_init_stage(ops, x):
+def _f32_init_stage(ops, x):
+    """Normalize the seed panel, apply the pencil (f64 on the X block), and form the
+    first Gram matrices."""
+    mx = ops.mmat(x.astype(jnp.float64))
+    x, mx = _normalize_cols(x.astype(jnp.float64), mx)
+    kx = ops.kmat(x)
+    x32 = x.astype(jnp.float32)
+    return x32, _gram64(x, kx), _gram64(x, mx)
+
+
+@jax.jit
+def _enter_block_layout(x, c):
+    """Enter the (n, 3p) [X | W | P] block layout with zero W/P columns and c padded."""
+    p = x.shape[1]
+    z = jnp.zeros_like(x)
+    s = jnp.concatenate([x, z, z], 1)
+    cpad = jnp.concatenate([c, jnp.zeros((2 * p, p), c.dtype)], 0)
+    return s, cpad
+
+
+def _blocks_to_gram(xx, xw, xp, ww, wp, pp):
+    """Assemble the symmetric (3p)^2 Gram from its six f64 blocks."""
+    top = jnp.concatenate([xx, xw, xp], 1)
+    mid = jnp.concatenate([xw.T, ww, wp], 1)
+    bot = jnp.concatenate([xp.T, wp.T, pp], 1)
+    return jnp.concatenate([top, mid, bot], 0)
+
+
+@partial(jax.jit, static_argnames=("inner_iters",))
+def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters):
+    """One LOBPCG iteration up to the Gram matrices (the device Rayleigh-Ritz runs as
+    its own small program, see _rr_device): recombine [X | P] from the previous basis
+    and weights, apply the pencil FRESH to X in f64, compute residuals with fresh
+    Rayleigh quotients, precondition W (f32 PCG), M-project and normalize W and P
+    against X, apply the pencil fresh to W and P in f32, and form the blockwise
+    mixed-precision Gram matrices (see the section comment for the precision story).
+
+    No K/M product survives a recombination — recombining carried products cancels
+    ~theta_max/theta digits and leaves the Gram pair mutually inconsistent. The
+    momentum weights are derived on device: c_wp is c with the X-block rows zeroed."""
+    c32 = c.astype(s.dtype)  # recombination weights arrive f64 from _rr_device
+    p = c.shape[1]
+    c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c32, jnp.zeros_like(c32))
+    x = s @ c32
+    pdir = s @ c_wp
+
+    # X block: the K apply runs f64 (it cancels ~theta_max/theta digits, see the
+    # section comment) but the M apply stays f32 — the mass matrix is well-conditioned
+    # (element volumes only), so M x carries eps32 RELATIVE error with no cancellation:
+    # the residual picks up ~eps32*theta*|Mx| (far under the settling floor) and the
+    # b-Grams eps32-relative entries, both harmless.
+    mx32 = ops.mmat_f32(x)
+    cn = jnp.einsum("np,np->p", x, mx32, preferred_element_type=jnp.float64)
+    live = cn > _tiny(jnp.float32)
+    d = jnp.where(live, jax.lax.rsqrt(jnp.where(live, cn, 1.0)), 0.0)
+    x = x * d.astype(jnp.float32)[None, :]
+    mx32 = mx32 * d.astype(jnp.float32)[None, :]
+    x64 = x.astype(jnp.float64)
+    kx = ops.kmat(x64)
+    mx = mx32.astype(jnp.float64)
+    theta = _col_dots(x64, kx)  # fresh f64 Rayleigh quotients; unit-M-norm columns
+    r = kx - mx * theta[None, :]
+    res_norm = jnp.sqrt(_col_dots(r, r))
+
+    w = _pcg_block(shifted.amat, inv_diag, r.astype(jnp.float32), inner_iters)
+    mw = ops.mmat_f32(w)
+    pre2 = _col_dots(w, mw)
+    q = mx32.T @ w
+    w = w - x @ q
+    mw = mw - mx32 @ q
+    post2 = _col_dots(w, mw)
+    live = post2 > _live_eps(w.dtype) * jnp.maximum(pre2, _tiny(w.dtype))
+    w = jnp.where(live[None, :], w, 0.0)
+    mw = jnp.where(live[None, :], mw, 0.0)
+    w, mw = _normalize_cols(w, mw)
+    kw = ops.kmat_f32(w)
+
+    mp = ops.mmat_f32(pdir)
+    pre2p = _col_dots(pdir, mp)
+    qp = mx32.T @ pdir
+    pdir = pdir - x @ qp
+    mp = mp - mx32 @ qp
+    post2p = _col_dots(pdir, mp)
+    livep = post2p > _live_eps(pdir.dtype) * jnp.maximum(pre2p, _tiny(pdir.dtype))
+    pdir = jnp.where(livep[None, :], pdir, 0.0)
+    mp = jnp.where(livep[None, :], mp, 0.0)
+    pdir, mp = _normalize_cols(pdir, mp)
+    kp = ops.kmat_f32(pdir)
+
+    s2 = jnp.concatenate([x, w, pdir], 1)
+    # Cross blocks ride the f64 X-side products: a_xw = (K x)^T w is the same number
+    # as x^T (K w) but computed through the accurate side.
+    a = _blocks_to_gram(
+        _gram64(x64, kx),
+        _gram64(kx, w), _gram64(kx, pdir),
+        _gram64(w, kw), _gram64(w, kp), _gram64(pdir, kp),
+    )
+    b = _blocks_to_gram(
+        _gram64(x64, mx),
+        _gram64(mx, w), _gram64(mx, pdir),
+        _gram64(w, mw), _gram64(w, mp), _gram64(pdir, mp),
+    )
+    return s2, a, b, res_norm
+
+
+@jax.jit
+def _materialize_f64(s, c):
+    return (s.astype(jnp.float64)) @ c.astype(jnp.float64)
+
+
+# ---- f64 polish stage ----
+
+
+@jax.jit
+def _polish_init(ops, x):
+    """Pencil products and the [X | 0 | 0] block layout of the f32-converged basis, in
+    f64. The f64 Rayleigh-Ritz over this basis has eigenvalue error quadratic in the
+    f32 subspace error — which is what buys 0.1%-grade parity from a coarse basis."""
     mx = ops.mmat(x)
     x, mx = _normalize_cols(x, mx)
     kx = ops.kmat(x)
     a = x.T @ kx
     b = x.T @ mx
-    return x, kx, mx, a, b
+    p = x.shape[1]
+    z = jnp.zeros_like(x)
+    s = jnp.concatenate([x, z, z], 1)
+    ks = jnp.concatenate([kx, z, z], 1)
+    ms = jnp.concatenate([mx, z, z], 1)
+    return s, ks, ms, a, b
 
 
 @partial(jax.jit, static_argnames=("inner_iters",))
-def _ops_fused_stage(ops, s_in, ks_in, ms_in, cu, theta_up, inv_diag_f32, sigma_f32,
-                     inner_iters):
-    """Recombine + step in ONE dispatch, with ONE significant packed upload.
+def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
+    """One [X | W | P] LOBPCG refinement step in f64, up to the Gram matrices. Full
+    momentum matters in the polish too: without the P block, near-zero rigid-body
+    modes descend at steepest-descent rates and never settle.
 
-    cu (3p, p) carries the Rayleigh-Ritz weights c (X = S c); theta_up (p,) f64
-    rides alongside (KB-scale). The momentum weights are DERIVED on device — c_wp
-    is c with the X-block rows zeroed (exactly the host-side c_wp[:p] = 0) —
-    halving the upload (the tunnel's host->device path runs ~1-2 MB/s, so upload
-    width is wall-clock). On the first iteration those rows are all of c's support,
-    so P is exactly zero and the projection masks retire it."""
-    p = cu.shape[1]
-    c = cu.astype(s_in.dtype)
-    theta = theta_up.astype(s_in.dtype)
-    c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c, 0.0)
-    x = s_in @ c
-    kx = ks_in @ c
-    mx = ms_in @ c
-    pdir = s_in @ c_wp
-    kp_in = ks_in @ c_wp
-    mp_in = ms_in @ c_wp
-    # Residuals of the current Ritz pairs; preconditioned residuals form W.
+    Unlike the f32 stage, K S / M S CARRY through the linear recombinations here — in
+    f64 the recombination-cancellation drift is ~eps64 * (theta_max/theta) ~ 1e-11
+    relative, harmless — so the expensive emulated-f64 pencil applies only to the W
+    block. The correction block W is the f32-preconditioned residual (the
+    preconditioner needs no precision)."""
+    c = c.astype(s.dtype)
+    theta = theta.astype(s.dtype)
+    p = c.shape[1]
+    c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c, jnp.zeros_like(c))
+    x = s @ c
+    kx = ks @ c
+    mx = ms @ c
+    pdir = s @ c_wp
+    kp = ks @ c_wp
+    mp = ms @ c_wp
+
     r = kx - mx * theta[None, :]
     res_norm = jnp.sqrt(_col_dots(r, r))
 
-    # Mixed precision: the inner solve is only a preconditioner, so it runs in f32 on
-    # the MXU (orders of magnitude faster than TPU's emulated f64); the outer pencil
-    # products and Rayleigh-Ritz stay f64, which is where the 0.1% parity lives.
-    def apply_shifted(xx):
-        return ops.kmat_f32(xx) - sigma_f32 * ops.mmat_f32(xx)
-
-    w = _pcg_block(apply_shifted, inv_diag_f32, r.astype(jnp.float32),
-                   inner_iters).astype(r.dtype)
-    # Project W M-orthogonal to X (X is M-orthonormal by construction). Columns that
-    # collapse below 1e-7 of their pre-projection M-norm are numerically inside span(X)
-    # — orthonormalizing them would amplify cancellation noise into the trial space
-    # (the post-convergence NaN failure mode), so they zero out instead. The
-    # pre-projection norm is only that dead-column heuristic, so the cheap f32
-    # operator serves it.
-    mw_pre = ops.mmat_f32(w.astype(jnp.float32)).astype(w.dtype)
-    pre2 = _col_dots(w, mw_pre)
-    w = w - x @ (mx.T @ w)
+    w = _pcg_block(shifted.amat, inv_diag32, r.astype(jnp.float32), inner_iters)
+    w = w.astype(s.dtype)
     mw = ops.mmat(w)
+    pre2 = _col_dots(w, mw)
+    q = mx.T @ w
+    w = w - x @ q
+    mw = mw - mx @ q
     post2 = _col_dots(w, mw)
-    live = post2 > 1e-14 * jnp.maximum(pre2, 1e-300)
+    live = post2 > _live_eps(w.dtype) * jnp.maximum(pre2, _tiny(w.dtype))
     w = jnp.where(live[None, :], w, 0.0)
     mw = jnp.where(live[None, :], mw, 0.0)
     w, mw = _normalize_cols(w, mw)
     kw = ops.kmat(w)
 
-    # P is a linear combination of the previous S, so its K/M products arrived from
-    # the recombination GEMMs — projection and normalization are linear and update
-    # them consistently: the pencil is NEVER applied to P.
-    kp = kp_in
-    mp = mp_in
+    # P is a linear combination of the previous S; its carried products update linearly
+    # through projection and normalization — the pencil is never applied to P.
     pre2p = _col_dots(pdir, mp)
-    q = mx.T @ pdir
-    pdir_o = pdir - x @ q
-    mp = mp - mx @ q
-    kp = kp - kx @ q
-    post2p = _col_dots(pdir_o, mp)
-    livep = post2p > 1e-14 * jnp.maximum(pre2p, 1e-300)
-    pdir_o = jnp.where(livep[None, :], pdir_o, 0.0)
+    qp = mx.T @ pdir
+    pdir = pdir - x @ qp
+    mp = mp - mx @ qp
+    kp = kp - kx @ qp
+    post2p = _col_dots(pdir, mp)
+    livep = post2p > _live_eps(pdir.dtype) * jnp.maximum(pre2p, _tiny(pdir.dtype))
+    pdir = jnp.where(livep[None, :], pdir, 0.0)
     mp = jnp.where(livep[None, :], mp, 0.0)
     kp = jnp.where(livep[None, :], kp, 0.0)
-    cn = _col_dots(pdir_o, mp)
-    livec = cn > 1e-300
-    d = jnp.where(livec, 1.0 / jnp.sqrt(jnp.where(livec, cn, 1.0)), 0.0)
-    pdir_o = pdir_o * d[None, :]
+    cn = _col_dots(pdir, mp)
+    livec = cn > _tiny(pdir.dtype)
+    d = jnp.where(livec, jax.lax.rsqrt(jnp.where(livec, cn, 1.0)), 0.0)
+    pdir = pdir * d[None, :]
     mp = mp * d[None, :]
     kp = kp * d[None, :]
 
-    # W/P cross-correlations are absorbed by the host whitening, not projected here.
-    s = jnp.concatenate([x, w, pdir_o], axis=1)
-    ks = jnp.concatenate([kx, kw, kp], axis=1)
-    ms = jnp.concatenate([mx, mw, mp], axis=1)
-    a = s.T @ ks
-    b = s.T @ ms
-    # b only whitens, so f32 transfer is plenty (1e-7 on ~unit values). a stays f64.
-    return s, ks, ms, a, b.astype(jnp.float32), res_norm
+    s2 = jnp.concatenate([x, w, pdir], 1)
+    ks2 = jnp.concatenate([kx, kw, kp], 1)
+    ms2 = jnp.concatenate([mx, mw, mp], 1)
+    a = s2.T @ ks2
+    b = s2.T @ ms2
+    return s2, ks2, ms2, a, b, res_norm
 
 
 @jax.jit
-def _recombine(s, ks, ms, c2):
-    # K X / M X (and K P / M P) carry through the linear recombination — the pencil
-    # is only ever applied to the W block. f32 weights perturb the basis by ~1e-7
-    # within the same subspace, which the f64 Rayleigh-Ritz corrects.
-    c = c2[0].astype(s.dtype)
-    c_wp = c2[1].astype(s.dtype)
-    return s @ c, ks @ c, ms @ c, s @ c_wp, ks @ c_wp, ms @ c_wp
+def _extract_x(s, c):
+    return s @ c.astype(s.dtype)
 
 
-@jax.jit
-def _ops_refresh(ops, x):
-    return ops.kmat(x), ops.mmat(x)
+def _pencil_csr(ops):
+    """Scipy CSR (K, M) assembled from the element blocks, f64 on host.
+
+    Only the small-pencil path materializes matrices; the TPU path stays element-form
+    (matrix-free). COO duplicate summation does the scatter-add."""
+    import scipy.sparse as sp
+
+    ed = np.asarray(ops.elem_dofs, np.int64)  # (E, 30)
+    rows = np.repeat(ed, 30, axis=1).reshape(-1)
+    cols = np.tile(ed, (1, 30)).reshape(-1)
+    n = ops.n_dofs
+    kb = np.asarray(ops.k_blocks, np.float64).reshape(-1)
+    k = sp.coo_matrix((kb, (rows, cols)), shape=(n, n)).tocsr()
+    m_unit = np.asarray(ops.m_unit, np.float64)
+    mb = (np.asarray(ops.rho_vol, np.float64)[:, None, None] * m_unit[None]).reshape(-1)
+    m = sp.coo_matrix((mb, (rows, cols)), shape=(n, n)).tocsr()
+    diag = np.arange(n)
+    k = k + sp.coo_matrix((np.asarray(ops.k_fix, np.float64), (diag, diag)), shape=(n, n))
+    m = m + sp.coo_matrix((np.asarray(ops.m_fix, np.float64), (diag, diag)), shape=(n, n))
+    return k.tocsc(), m.tocsc()
 
 
-@jax.jit
-def _pad_basis(x, kx, mx):
-    z = jnp.zeros((x.shape[0], 2 * x.shape[1]), x.dtype)
-    return (jnp.concatenate([x, z], 1), jnp.concatenate([kx, z], 1),
-            jnp.concatenate([mx, z], 1))
+def _small_pencil_path(ops, n, nev, p, sigma, callback) -> "LobpcgResult":
+    """Host sparse shift-invert for small pencils — the exact role of the reference's
+    Spectra + Cholesky path (src/audio/mesh2modes.cpp:339-428): factorize (K - sigma*M)
+    once, Lanczos in the shift-inverted spectrum. Small problems are host problems: at
+    a few thousand DOFs the splu factorization is milliseconds while the blocked TPU
+    iteration pays fixed per-dispatch and tunnel costs per step — and the iterative
+    path's preconditioner quality matters least exactly where this path is exact."""
+    import scipy.sparse.linalg as spla
+
+    k, m = _pencil_csr(ops)
+    p = min(p, n - 1)
+    try:
+        vals, vecs = spla.eigsh(k, k=p, M=m, sigma=sigma, which="LM")
+    except Exception:
+        return LobpcgResult(np.zeros(0), np.zeros((n, 0)), 0, 1)
+    order = np.argsort(vals)
+    vals = vals[order][:nev]
+    vecs = vecs[:, order][:, :nev]
+    if callback is not None and callback(1, nev):
+        return LobpcgResult(np.zeros(0), np.zeros((n, 0)), 1, 1)
+    return LobpcgResult(vals.copy(), jnp.asarray(vecs), 1, 1,
+                        residual_norms=np.zeros(nev))
 
 
-@jax.jit
-def _rebuild(x, kx, mx, pdir, kp, mp):
-    z = jnp.zeros_like(x)
-    return (jnp.concatenate([x, pdir, z], 1), jnp.concatenate([kx, kp, z], 1),
-            jnp.concatenate([mx, mp, z], 1))
+def _settled_prefix(lam, prev, nev, tol, sigma, floor_rel):
+    """Leading prefix of pairs whose eigenvalue settled, mirroring the reference's
+    SubspaceIterate criterion (mesh2modes.cpp:403-410): relative change under tol, with
+    an absolute floor scaled to the wanted window for near-zero (rigid-body) values."""
+    delta = np.abs(lam[:nev] - prev[:nev])
+    rel = delta / np.maximum(np.abs(lam[:nev]), abs(sigma))
+    window = max(float(np.abs(lam[:nev]).max()), abs(sigma))
+    ok = (rel < tol) | (delta < floor_rel * window)
+    settled = 0
+    for v in ok:
+        if v:
+            settled += 1
+        else:
+            break
+    return settled, rel, delta, window
 
 
 def lobpcg_pencil(
@@ -268,19 +563,203 @@ def lobpcg_pencil(
     """Lowest `nev` eigenpairs of K x = lambda M x.
 
     kmat/mmat apply the operators to (n, p) panels as kmat(op_state, x) when `op_state`
-    is given (the element arrays thread through the jitted stages as real arguments —
-    closure-captured device arrays would be baked into the HLO as constants, bloating
-    compiles and memory), or kmat(x) when not. `sigma` (negative) shifts the
-    preconditioner pencil. `x0` (n, >=1) seeds the leading panel columns (warm start).
-    Convergence mirrors the reference's settling criterion (SubspaceIterate,
-    mesh2modes.cpp:403-410): the leading prefix of pairs whose relative eigenvalue change
-    (against max(|lambda|, |sigma|)) stays under `tol`. `callback(iteration, settled)` may
-    return True to cancel — an empty result, the JobMonitor contract of the reference.
+    is given, or kmat(x) when not. `sigma` (negative) shifts the preconditioner pencil.
+    `x0` (n, >=1) seeds the leading panel columns (warm start). Convergence mirrors the
+    reference's settling criterion (SubspaceIterate, mesh2modes.cpp:403-410) on the f64
+    polish Ritz values. `callback(iteration, settled)` may return True to cancel — an
+    empty result, the JobMonitor contract of the reference.
 
-    When `op_state` exposes kmat/mmat/kmat_f32/mmat_f32 (ElementOperators), the solver
-    uses the module-level compiled stages (no per-solve recompilation); otherwise it
-    builds closure-based stages around the given callables (recompiled per call).
+    When `op_state` is an ElementOperators (kmat/mmat/kmat_f32/mmat_f32), the solver runs
+    the two-stage f32-subspace + f64-polish path with module-level compiled stages;
+    otherwise it falls back to a closure-based all-f64 LOBPCG around the given callables.
     """
+    from ..fem.assembly import ElementOperators, bake_shifted_f32
+
+    p = min(nev + guard, n)
+
+    # Small pencils route to the host shift-invert (exact, robust); the blocked TPU
+    # iteration exists for the regime where factorization is impossible, not for
+    # problems a sparse LU dispatches in milliseconds.
+    small_n = int(os.environ.get("MESHEDITOR_TPU_SMALL_N", "9000"))
+    if isinstance(op_state, ElementOperators) and n <= small_n:
+        return _small_pencil_path(op_state, n, nev, p, sigma, callback)
+
+    fast = isinstance(op_state, ElementOperators) and kmat_pc is not None
+    if not fast:
+        return _lobpcg_legacy(
+            kmat, mmat, k_diag, m_diag, n, nev, op_state=op_state, kmat_pc=kmat_pc,
+            mmat_pc=mmat_pc, sigma=sigma, x0=x0, guard=guard, tol=tol,
+            max_iters=max_iters, inner_iters=inner_iters, refresh_every=refresh_every,
+            seed=seed, callback=callback,
+        )
+
+    from .. import profile
+
+    debug = bool(os.environ.get("MESHEDITOR_TPU_DEBUG_EIG"))
+    shifted = bake_shifted_f32(op_state, sigma)
+    inv_diag32 = (1.0 / (k_diag - sigma * m_diag)).astype(jnp.float32)
+    # f32-stage whitening cutoff: every basis column is unit-M-norm before the Grams,
+    # so an honest direction carries O(1) weight in b and small eigenvalues of b are
+    # near-DEPENDENCE among columns. The Grams are f64-accumulated (_gram64) so b's
+    # entries are accurate to the f32 representation of the panels (~1e-6 relative);
+    # directions below that are cancellation noise and whitening by 1/sqrt of them
+    # would amplify Gram noise into spurious Ritz values inside the wanted window.
+    eps_b32 = jnp.asarray(1e-5, jnp.float64)
+    eps_b64 = jnp.asarray(1e-8, jnp.float64)
+
+    # The fold-RR settling values are EXACT f64 Rayleigh quotients of the f32 basis, so
+    # the f32 stage settles directly at the caller's tolerance down to the f32-panel RQ
+    # floor (~eps32 * theta relative, from f32 pencil applications inside the Grams).
+    # Only tolerances below that floor need the f64-panel polish loop.
+    f32_floor = 3e-7
+    tol32 = max(tol, float(os.environ.get("MESHEDITOR_TPU_F32_TOL") or f32_floor))
+    floor32 = 1e-7
+    f32_max = min(max_iters, int(os.environ.get("MESHEDITOR_TPU_F32_MAX") or 64))
+    need_polish = tol < f32_floor
+    polish_max = min(max_iters, 30)
+
+    def fail(iterations, ops_count):
+        return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops_count)
+
+    # Seed: warm basis columns, then fixed-seed gaussian fill (same determinism
+    # discipline as the reference's SubspaceIterate rng, mesh2modes.cpp:354).
+    with profile.scope("eig/f32_init"):
+        key = jax.random.PRNGKey(seed)
+        x = jax.random.normal(key, (n, p), dtype=jnp.float32)
+        if x0 is not None and np.size(x0):
+            seeded = min(x0.shape[1], p)
+            x = x.at[:, :seeded].set(jnp.asarray(np.asarray(x0)[:, :seeded], jnp.float32))
+        x, a, b = _f32_init_stage(op_state, x)
+        s_hint = jnp.asarray(0.0, jnp.float64)
+        theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
+        s_hint = theta_d[p - 1]
+        s, c = _enter_block_layout(x, c)
+        del x
+
+    ops_count = 3
+    prev = np.full(p, np.inf)
+    f32_iters = 0
+    res_d = None
+    pending = None  # (iteration, theta device array) — checked one iteration behind
+    # Vector quality: eigenVALUES settle one iteration before the eigenvectors stop
+    # rotating inside near-degenerate clusters (value error is quadratic in vector
+    # error). Requiring settling on two CONSECUTIVE iterations pins the vectors too.
+    streak_needed = 2
+    streak = 0
+
+    def check(stage, iteration, theta_dev, tol_now):
+        nonlocal prev, streak
+        lam = np.asarray(jax.device_get(theta_dev), np.float64)
+        if not np.isfinite(lam[:nev]).all():
+            return "nan", lam
+        settled, rel, delta, window = _settled_prefix(lam, prev, nev, tol_now, sigma, floor32)
+        prev = lam
+        streak = streak + 1 if settled >= nev else 0
+        if debug:
+            j = min(settled, nev - 1)
+            print(
+                f"[{stage}] it={iteration} settled={settled}/{nev} streak={streak} "
+                f"lam={lam[j]:.9e} rel={rel[j]:.3e}",
+                flush=True,
+            )
+        if callback is not None and callback(iteration, settled):
+            return "cancel", lam
+        if streak >= streak_needed:
+            return "done", lam
+        return "run", lam
+
+    lam = None
+    with profile.scope("eig/f32_loop"):
+        for it in range(f32_max):
+            s, a, b, res_d = _f32_iter_stage(
+                op_state, shifted, s, c, inv_diag32, inner_iters,
+            )
+            theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
+            s_hint = theta_d[p - 1]
+            f32_iters = it + 1
+            ops_count += 6 + inner_iters
+            if pending is not None:
+                status, lam = check("eig32", pending[0], pending[1], tol32)
+                if status in ("cancel", "nan"):
+                    # Numerical breakdown is a failed solve, like the reference's
+                    # empty-modes path (mesh2modes.cpp:399,479).
+                    return fail(f32_iters, ops_count)
+                if status == "done":
+                    break
+            pending = (f32_iters, theta_d)
+        else:
+            status, lam = check("eig32", pending[0], pending[1], tol32)
+            if status in ("cancel", "nan"):
+                return fail(f32_iters, ops_count)
+            if status != "done":
+                return fail(f32_iters, ops_count)
+
+    if not need_polish:
+        # theta are exact f64 Rayleigh quotients of the returned basis; extract the
+        # settled columns directly (lam is one RR behind c, but both sides of the
+        # streak criterion settled, so the pairing is within tolerance).
+        lam = np.asarray(jax.device_get(theta_d), np.float64)
+        x_out = _extract_x(s, c)
+        res_norm = np.asarray(jax.device_get(res_d)) if res_d is not None else None
+        return LobpcgResult(
+            lam[:nev].copy(),
+            x_out[:, :nev],  # device-resident; see LobpcgResult
+            f32_iters,
+            ops_count,
+            residual_norms=res_norm[:nev] if res_norm is not None else None,
+        )
+
+    # ---- f64 polish (only for tolerances below the f32-panel RQ floor) ----
+    with profile.scope("eig/polish_init"):
+        x64 = _materialize_f64(s, c)
+        del s
+        s64, ks64, ms64, a64, b64 = _polish_init(op_state, x64)
+        del x64
+        theta64_d, c64 = _rr_device(a64, b64, p, eps_b64, s_hint)
+        s_hint = theta64_d[p - 1]
+        c64 = jnp.concatenate([c64, jnp.zeros((2 * p, p), c64.dtype)], 0)
+        ops_count += 2
+        lam = np.asarray(jax.device_get(theta64_d), np.float64)
+    if not np.isfinite(lam[:nev]).all():
+        return fail(f32_iters, ops_count)
+    prev = lam
+    streak = 0
+    res_norm = None
+
+    with profile.scope("eig/polish_loop"):
+        for pit in range(polish_max):
+            s64, ks64, ms64, a64, b64, res_d = _polish_stage(
+                op_state, shifted, s64, ks64, ms64, c64, theta64_d, inv_diag32,
+                inner_iters,
+            )
+            theta64_d, c64 = _rr_device(a64, b64, p, eps_b64, s_hint)
+            s_hint = theta64_d[p - 1]
+            ops_count += 2 + inner_iters
+            iterations = f32_iters + pit + 1
+            status, lam = check("eig64", iterations, theta64_d, tol)
+            if status in ("cancel", "nan"):
+                return fail(iterations, ops_count)
+            if status == "done":
+                res_norm = np.asarray(jax.device_get(res_d))
+                x_out = _extract_x(s64, c64)
+                return LobpcgResult(
+                    lam[:nev].copy(),
+                    x_out[:, :nev],  # device-resident; see LobpcgResult
+                    iterations,
+                    ops_count,
+                    residual_norms=res_norm[:nev],
+                )
+    # Convergence failed: empty eigenvalues, like the reference (mesh2modes.cpp:399,479).
+    return fail(f32_iters + polish_max, ops_count)
+
+
+def _lobpcg_legacy(
+    kmat, mmat, k_diag, m_diag, n, nev, *, op_state, kmat_pc, mmat_pc, sigma, x0,
+    guard, tol, max_iters, inner_iters, refresh_every, seed, callback,
+):
+    """All-f64 closure-based LOBPCG for bare-callable pencils (recompiles per call).
+    Host Rayleigh-Ritz between jitted stages; used by tests and tools that construct
+    pencils without ElementOperators."""
     p = min(nev + guard, n)
     dtype = k_diag.dtype
 
@@ -288,159 +767,139 @@ def lobpcg_pencil(
     inv_diag_f32 = inv_diag.astype(jnp.float32)
     sigma_f32 = jnp.float32(sigma)
 
-    fast = (op_state is not None and kmat_pc is not None
-            and all(hasattr(op_state, a)
-                    for a in ("kmat", "mmat", "kmat_f32", "mmat_f32")))
-
-    if fast:
-        init_stage_f = _ops_init_stage
-
-        def fused_f(ops, s, ks, ms, cu, theta_up):
-            return _ops_fused_stage(ops, s, ks, ms, cu, theta_up, inv_diag_f32,
-                                    sigma_f32, inner_iters)
-
-        refresh_f = _ops_refresh
+    if op_state is None:
+        _kmat = lambda ops, x: kmat(x)  # noqa: E731
+        _mmat = lambda ops, x: mmat(x)  # noqa: E731
     else:
-        # Legacy closure path: generic callables; recompiles per lobpcg_pencil call.
-        if op_state is None:
-            _kmat = lambda ops, x: kmat(x)  # noqa: E731
-            _mmat = lambda ops, x: mmat(x)  # noqa: E731
-        else:
-            _kmat, _mmat = kmat, mmat
+        _kmat, _mmat = kmat, mmat
 
+    if kmat_pc is not None:
+        def precond(ops, r):
+            def apply_shifted(x):
+                return kmat_pc(ops, x) - sigma_f32 * mmat_pc(ops, x)
+
+            z = _pcg_block(apply_shifted, inv_diag_f32, r.astype(jnp.float32),
+                           inner_iters)
+            return z.astype(r.dtype)
+    else:
+        def precond(ops, r):
+            def apply_shifted(x):
+                return _kmat(ops, x) - sigma * _mmat(ops, x)
+
+            return _pcg_block(apply_shifted, inv_diag, r, inner_iters)
+
+    @jax.jit
+    def init_stage_f(ops, x):
+        mx = _mmat(ops, x)
+        x, mx = _normalize_cols(x, mx)
+        kx = _kmat(ops, x)
+        return x, kx, mx, x.T @ kx, x.T @ mx
+
+    @jax.jit
+    def fused_f(ops, s_in, ks_in, ms_in, cu, theta_up):
+        c = cu.astype(s_in.dtype)
+        theta = theta_up.astype(s_in.dtype)
+        c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c, 0.0)
+        x = s_in @ c
+        kx = ks_in @ c
+        mx = ms_in @ c
+        pdir = s_in @ c_wp
+        kp = ks_in @ c_wp
+        mp = ms_in @ c_wp
+        r = kx - mx * theta[None, :]
+        res_norm = jnp.sqrt(_col_dots(r, r))
+        w = precond(ops, r)
         if kmat_pc is not None:
-            def precond(ops, r):
-                def apply_shifted(x):
-                    return kmat_pc(ops, x) - sigma_f32 * mmat_pc(ops, x)
-
-                z = _pcg_block(apply_shifted, inv_diag_f32, r.astype(jnp.float32),
-                               inner_iters)
-                return z.astype(r.dtype)
+            mw_pre = mmat_pc(ops, w.astype(jnp.float32)).astype(w.dtype)
         else:
-            def precond(ops, r):
-                def apply_shifted(x):
-                    return _kmat(ops, x) - sigma * _mmat(ops, x)
+            mw_pre = _mmat(ops, w)
+        pre2 = _col_dots(w, mw_pre)
+        w = w - x @ (mx.T @ w)
+        mw = _mmat(ops, w)
+        post2 = _col_dots(w, mw)
+        live = post2 > 1e-14 * jnp.maximum(pre2, 1e-300)
+        w = jnp.where(live[None, :], w, 0.0)
+        mw = jnp.where(live[None, :], mw, 0.0)
+        w, mw = _normalize_cols(w, mw)
+        kw = _kmat(ops, w)
+        pre2p = _col_dots(pdir, mp)
+        q = mx.T @ pdir
+        pdir_o = pdir - x @ q
+        mp = mp - mx @ q
+        kp = kp - kx @ q
+        post2p = _col_dots(pdir_o, mp)
+        livep = post2p > 1e-14 * jnp.maximum(pre2p, 1e-300)
+        pdir_o = jnp.where(livep[None, :], pdir_o, 0.0)
+        mp = jnp.where(livep[None, :], mp, 0.0)
+        kp = jnp.where(livep[None, :], kp, 0.0)
+        cn = _col_dots(pdir_o, mp)
+        livec = cn > 1e-300
+        d = jnp.where(livec, 1.0 / jnp.sqrt(jnp.where(livec, cn, 1.0)), 0.0)
+        pdir_o = pdir_o * d[None, :]
+        mp = mp * d[None, :]
+        kp = kp * d[None, :]
+        s = jnp.concatenate([x, w, pdir_o], axis=1)
+        ks = jnp.concatenate([kx, kw, kp], axis=1)
+        ms = jnp.concatenate([mx, mw, mp], axis=1)
+        return s, ks, ms, s.T @ ks, (s.T @ ms).astype(jnp.float32), res_norm
 
-                return _pcg_block(apply_shifted, inv_diag, r, inner_iters)
+    @jax.jit
+    def refresh_f(ops, x):
+        return _kmat(ops, x), _mmat(ops, x)
 
-        @jax.jit
-        def init_stage_f(ops, x):
-            mx = _mmat(ops, x)
-            x, mx = _normalize_cols(x, mx)
-            kx = _kmat(ops, x)
-            return x, kx, mx, x.T @ kx, x.T @ mx
+    @jax.jit
+    def _recombine(s, ks, ms, c2):
+        c = c2[0].astype(s.dtype)
+        c_wp = c2[1].astype(s.dtype)
+        return s @ c, ks @ c, ms @ c, s @ c_wp, ks @ c_wp, ms @ c_wp
 
-        @jax.jit
-        def fused_f(ops, s_in, ks_in, ms_in, cu, theta_up):
-            c = cu.astype(s_in.dtype)
-            theta = theta_up.astype(s_in.dtype)
-            c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c, 0.0)
-            x = s_in @ c
-            kx = ks_in @ c
-            mx = ms_in @ c
-            pdir = s_in @ c_wp
-            kp = ks_in @ c_wp
-            mp = ms_in @ c_wp
-            r = kx - mx * theta[None, :]
-            res_norm = jnp.sqrt(_col_dots(r, r))
-            w = precond(ops, r)
-            if kmat_pc is not None:
-                mw_pre = mmat_pc(ops, w.astype(jnp.float32)).astype(w.dtype)
-            else:
-                mw_pre = _mmat(ops, w)
-            pre2 = _col_dots(w, mw_pre)
-            w = w - x @ (mx.T @ w)
-            mw = _mmat(ops, w)
-            post2 = _col_dots(w, mw)
-            live = post2 > 1e-14 * jnp.maximum(pre2, 1e-300)
-            w = jnp.where(live[None, :], w, 0.0)
-            mw = jnp.where(live[None, :], mw, 0.0)
-            w, mw = _normalize_cols(w, mw)
-            kw = _kmat(ops, w)
-            pre2p = _col_dots(pdir, mp)
-            q = mx.T @ pdir
-            pdir_o = pdir - x @ q
-            mp = mp - mx @ q
-            kp = kp - kx @ q
-            post2p = _col_dots(pdir_o, mp)
-            livep = post2p > 1e-14 * jnp.maximum(pre2p, 1e-300)
-            pdir_o = jnp.where(livep[None, :], pdir_o, 0.0)
-            mp = jnp.where(livep[None, :], mp, 0.0)
-            kp = jnp.where(livep[None, :], kp, 0.0)
-            cn = _col_dots(pdir_o, mp)
-            livec = cn > 1e-300
-            d = jnp.where(livec, 1.0 / jnp.sqrt(jnp.where(livec, cn, 1.0)), 0.0)
-            pdir_o = pdir_o * d[None, :]
-            mp = mp * d[None, :]
-            kp = kp * d[None, :]
-            s = jnp.concatenate([x, w, pdir_o], axis=1)
-            ks = jnp.concatenate([kx, kw, kp], axis=1)
-            ms = jnp.concatenate([mx, mw, mp], axis=1)
-            return s, ks, ms, s.T @ ks, (s.T @ ms).astype(jnp.float32), res_norm
+    @jax.jit
+    def _pad_basis(x, kx, mx):
+        z = jnp.zeros((x.shape[0], 2 * x.shape[1]), x.dtype)
+        return (jnp.concatenate([x, z], 1), jnp.concatenate([kx, z], 1),
+                jnp.concatenate([mx, z], 1))
 
-        @jax.jit
-        def refresh_f(ops, x):
-            return _kmat(ops, x), _mmat(ops, x)
+    @jax.jit
+    def _rebuild(x, kx, mx, pdir, kp, mp):
+        z = jnp.zeros_like(x)
+        return (jnp.concatenate([x, pdir, z], 1), jnp.concatenate([kx, kp, z], 1),
+                jnp.concatenate([mx, mp, z], 1))
 
-    # Upload dtype for the weights: f32 validated; f16 opt-in (halves the upload;
-    # basis perturbation ~1e-3 stays inside the subspace, which the f64 Rayleigh-Ritz
-    # re-optimizes each iteration).
     c_up_dtype = np.float16 if os.environ.get("MESHEDITOR_TPU_C16") else np.float32
 
-    from .. import profile
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (n, p), dtype=dtype)
+    if x0 is not None and np.size(x0):
+        seeded = min(x0.shape[1], p)
+        x = x.at[:, :seeded].set(jnp.asarray(np.asarray(x0)[:, :seeded], dtype=dtype))
 
-    # Seed: warm basis columns, then fixed-seed gaussian fill (same determinism discipline
-    # as the reference's SubspaceIterate rng seed, mesh2modes.cpp:354).
-    with profile.scope("eig/init"):
-        key = jax.random.PRNGKey(seed)
-        x = jax.random.normal(key, (n, p), dtype=dtype)
-        if x0 is not None and x0.size:
-            seeded = min(x0.shape[1], p)
-            x = x.at[:, :seeded].set(jnp.asarray(x0[:, :seeded], dtype=dtype))
-
-        x, kx, mx, a, b = init_stage_f(op_state, x)
-        theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
-        # Enter the fused (n, 3p) block layout once: basis columns beyond X are zero,
-        # as are their c rows, so the first fused iteration recombines exactly [X c | 0].
-        s, ks, ms = _pad_basis(x, kx, mx)
-        cu = np.zeros((3 * p, p))
-        cu[:p] = c_np
-        cu = cu.astype(c_up_dtype)
-        theta_up = theta_np
-    ops = 3  # init + recombined products
+    x, kx, mx, a, b = init_stage_f(op_state, x)
+    theta_np, c_np = _solve_reduced(np.asarray(a), np.asarray(b), p)
+    s, ks, ms = _pad_basis(x, kx, mx)
+    cu = np.zeros((3 * p, p))
+    cu[:p] = c_np
+    cu = cu.astype(c_up_dtype)
+    theta_up = theta_np
+    ops_count = 3
     prev = np.full(p, np.inf)
     iterations = 0
     res_norm = None
 
     for it in range(max_iters):
-        with profile.scope("eig/fused_stage"):
-            s, ks, ms, a_d, b32, res_norm = fused_f(
-                op_state, s, ks, ms, jnp.asarray(cu), jnp.asarray(theta_up)
-            )
-            if profile.enabled:
-                jax.block_until_ready(a_d)
-        ops += 2 + 2 * inner_iters
-        with profile.scope("eig/transfer_down"):
-            a_h, b_h32 = jax.device_get((a_d, b32))
-        with profile.scope("eig/host_rr"):
-            theta_np, c_np = _solve_reduced(a_h, b_h32.astype(np.float64), p)
+        s, ks, ms, a_d, b32, res_norm = fused_f(
+            op_state, s, ks, ms, jnp.asarray(cu), jnp.asarray(theta_up)
+        )
+        ops_count += 2 + 2 * inner_iters
+        a_h, b_h32 = jax.device_get((a_d, b32))
+        theta_np, c_np = _solve_reduced(a_h, b_h32.astype(np.float64), p)
         iterations = it + 1
         lam = theta_np
         if not np.isfinite(lam[:nev]).all():
-            # Numerical breakdown is a failed solve, like the reference's empty-modes path.
-            return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
-        # P's weights (the LOBPCG momentum) are derived on device from cu: rows [:p]
-        # zeroed — identical to the former host-side c_wp.
+            return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops_count)
         cu = c_np.astype(c_up_dtype)
         theta_up = theta_np
         refreshed = refresh_every and (it + 1) % refresh_every == 0
         if refreshed:
-            # Shed recombination drift: materialize X/P, reapply the pencil to X, and
-            # re-enter the block layout with selection weights. The derived-momentum
-            # packing cannot express an independent P selection, so the iteration
-            # right after a refresh runs without momentum (a steepest-descent step)
-            # — refreshes are rare (every `refresh_every`), the cost is one slightly
-            # weaker step.
             c_wp = c_np.copy()
             c_wp[:p, :] = 0.0
             c2 = np.stack([c_np, c_wp]).astype(np.float32)
@@ -450,25 +909,12 @@ def lobpcg_pencil(
             cu = np.zeros((3 * p, p))
             cu[:p] = np.eye(p)
             cu = cu.astype(c_up_dtype)
-            ops += 2
+            ops_count += 2
 
-        delta = np.abs(lam[:nev] - prev[:nev])
-        rel = delta / np.maximum(np.abs(lam[:nev]), abs(sigma))
-        # Near-zero (rigid-body) eigenvalues carry Rayleigh-Ritz noise of order
-        # eps * spectrum_width, which can hover exactly at the relative tolerance and
-        # stall the settling criterion forever; an absolute floor scaled to the wanted
-        # window marks them settled (the exact-factorization reference never sees this).
-        window = max(float(np.abs(lam[:nev]).max()), abs(sigma))
-        ok = (rel < tol) | (delta < 1e-9 * window)
+        settled, rel, delta, window = _settled_prefix(lam, prev, nev, tol, sigma, 1e-9)
         prev = lam
-        settled = 0  # leading prefix of settled pairs
-        for v in ok:
-            if v:
-                settled += 1
-            else:
-                break
         if os.environ.get("MESHEDITOR_TPU_DEBUG_EIG"):
-            j = settled if settled < nev else nev - 1
+            j = min(settled, nev - 1)
             print(
                 f"[eig] it={iterations} settled={settled}/{nev} "
                 f"blocker: lam={lam[j]:.6e} delta={delta[j]:.3e} rel={rel[j]:.3e} "
@@ -476,10 +922,9 @@ def lobpcg_pencil(
                 flush=True,
             )
         if callback is not None and callback(iterations, settled):
-            return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
+            return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops_count)
         if settled >= nev:
             if refreshed:
-                # s was rebuilt to [X|P|0] this iteration; X is selected directly.
                 sel = np.zeros((3 * p, p), np.float32)
                 sel[:p] = np.eye(p)
                 c2 = np.stack([sel, np.zeros_like(sel)])
@@ -488,10 +933,9 @@ def lobpcg_pencil(
             x_out, _, _, _, _, _ = _recombine(s, ks, ms, jnp.asarray(c2))
             return LobpcgResult(
                 lam[:nev].copy(),
-                x_out[:, :nev],  # device-resident; see LobpcgResult
+                x_out[:, :nev],
                 iterations,
-                ops,
+                ops_count,
                 residual_norms=np.asarray(res_norm)[:nev],
             )
-    # Convergence failed: empty eigenvalues, like the reference (mesh2modes.cpp:399,479).
-    return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops)
+    return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops_count)

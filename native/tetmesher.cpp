@@ -6,12 +6,17 @@
 //
 // Pipeline:
 //   1. vertex set = surface vertices (preserved exactly in the output) + an interior
-//      lattice (ray-crossing parity against the surface, grid-bucketed in yz)
+//      lattice seeded interval-aware along all three axes (ray-crossing parity against
+//      the surface, grid-bucketed): thin walls below the lattice spacing get
+//      mid-thickness seeds instead of starving (the scanned bowl/plate regime)
 //   2. incremental Bowyer-Watson Delaunay over a deterministic hash-jittered copy of the
 //      points (the jitter resolves exact degeneracies: cospherical grid corners etc.);
 //      point location by tetrahedron walk from the last insertion
-//   3. carve: keep tets whose centroid lies inside the surface (same parity test)
-//   4. drop slivers whose quality is hopeless; emit original coordinates
+//   3. conforming boundary recovery + optional Delaunay quality refinement
+//   4. sliver REPAIR (circumcenter / longest-edge-midpoint insertion rounds), so flat
+//      interior tets are excavated rather than dropped (no FEM-domain perforation)
+//   5. carve: keep tets whose centroid lies inside the surface (same parity test);
+//      anything still flat is dropped as the last resort, with a counter
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 
@@ -23,6 +28,7 @@
 #include <algorithm>
 #include <unordered_map>
 #include <random>
+#include <functional>
 
 namespace {
 
@@ -213,6 +219,34 @@ struct InsideTester {
         }
         return (count & 1) == 1;
     }
+
+    // All crossing coordinates of the full +-x line at (qy, qz), sorted ascending.
+    // Consecutive pairs bound the inside intervals of the line (odd counts mean the
+    // ray grazed a degeneracy; callers skip those lines — the grid jitter makes them
+    // rare). This powers interval-aware lattice seeding: thin walls whose thickness is
+    // below the lattice spacing never contain a grid point, but every inside interval
+    // is visible on some axis line and gets a mid-interval seed instead (the
+    // lattice-starvation fix for scanned thin shells: bowls, plates, goblets).
+    void line_crossings(double qy, double qz, std::vector<double> &xs) const {
+        xs.clear();
+        int iy = std::clamp((int)((qy - ylo) / cell), 0, ny - 1);
+        int iz = std::clamp((int)((qz - zlo) / cell), 0, nz - 1);
+        for (u32 ti : buckets[(size_t)iy * nz + iz]) {
+            const double *a = &pts[3 * tris[3 * ti + 0]];
+            const double *b = &pts[3 * tris[3 * ti + 1]];
+            const double *c = &pts[3 * tris[3 * ti + 2]];
+            const double d1y = b[1] - a[1], d1z = b[2] - a[2];
+            const double d2y = c[1] - a[1], d2z = c[2] - a[2];
+            const double den = d1y * d2z - d2y * d1z;
+            if (std::fabs(den) < 1e-30) continue;
+            const double py = qy - a[1], pz = qz - a[2];
+            const double u = (py * d2z - pz * d2y) / den;
+            const double w = (pz * d1y - py * d1z) / den;
+            if (u < 0 || w < 0 || u + w > 1) continue;
+            xs.push_back(a[0] + u * (b[0] - a[0]) + w * (c[0] - a[0]));
+        }
+        std::sort(xs.begin(), xs.end());
+    }
 };
 
 // ---- Bowyer-Watson incremental Delaunay ----
@@ -364,11 +398,12 @@ int tetmesh_delaunay(
     u64 *inout_ntets,          // in: capacity; out: count
     double *out_points,        // (npoints + n_lattice, 3) or nullptr
     u64 *inout_npoints,        // in: capacity; out: count
-    double *out_profile        // (8,) stage counters or nullptr (tetra::Profile analog:
+    double *out_profile        // (10,) stage counters or nullptr (tetra::Profile analog:
                                // lattice, recovery Steiner, refine points, recovery
-                               // rounds, refine passes, carved-out tets, slivers, kept)
+                               // rounds, refine passes, carved-out tets, slivers
+                               // dropped, kept, thin-wall seeds, sliver repairs)
 ) {
-    double prof_counts[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    double prof_counts[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
     if (npoints < 4 || ntris < 4) return 1;
     // Bounds.
     V3 lo{1e300, 1e300, 1e300}, hi{-1e300, -1e300, -1e300};
@@ -409,16 +444,133 @@ int tetmesh_delaunay(
                 return false;
         return true;
     };
-    for (double x = lo.x + 0.5 * h; x < hi.x; x += h)
-        for (double y = lo.y + 0.5 * h; y < hi.y; y += h)
-            for (double z = lo.z + 0.5 * h; z < hi.z; z += h)
-                if (inside.inside(x, y + jy, z + jz) && has_clearance(x, y, z)) {
-                    all.push_back(x);
-                    all.push_back(y);
-                    all.push_back(z);
+    // Interval-aware lattice: for every grid line along every axis, compute the inside
+    // intervals once (line_crossings) and place the regular grid points that fall in
+    // them; an interval thinner than the spacing that caught NO grid point gets its
+    // midpoint instead. This is the thin-shell fix: a 2-5%-thickness wall (the
+    // RealImpact bowl/plate regime) has no room for lattice points at h, which starved
+    // the interior entirely and left the FEM domain quality to skin-skin slivers —
+    // now every wall gets a mid-thickness sheet of seeds from whichever axis crosses
+    // it thinly. Cross-axis near-duplicates are suppressed with a spatial hash.
+    u64 thin_seeds = 0;
+    {
+        // Axis permutations: tester t_a casts lines along world axis a; its local
+        // frame is (a, a+1, a+2) cyclic.
+        std::vector<double> perm1(3 * npoints), perm2(3 * npoints);
+        for (u64 i = 0; i < npoints; ++i) {
+            perm1[3 * i + 0] = points[3 * i + 1];  // axis 1 (y) becomes the line axis
+            perm1[3 * i + 1] = points[3 * i + 2];
+            perm1[3 * i + 2] = points[3 * i + 0];
+            perm2[3 * i + 0] = points[3 * i + 2];  // axis 2 (z) becomes the line axis
+            perm2[3 * i + 1] = points[3 * i + 0];
+            perm2[3 * i + 2] = points[3 * i + 1];
+        }
+        InsideTester inside_y, inside_z;
+        inside_y.build(perm1.data(), npoints, tris, ntris);
+        inside_z.build(perm2.data(), npoints, tris, ntris);
+        const InsideTester *testers[3] = {&inside, &inside_y, &inside_z};
+        const double los[3] = {lo.x, lo.y, lo.z}, his[3] = {hi.x, hi.y, hi.z};
+
+        // Dedup hash over all accepted lattice/thin points, cell size h.
+        std::unordered_map<u64, std::vector<V3>> occ;
+        auto cell_of = [&](const V3 &p) {
+            const long cx = (long)std::floor((p.x - lo.x) / h);
+            const long cy = (long)std::floor((p.y - lo.y) / h);
+            const long cz = (long)std::floor((p.z - lo.z) / h);
+            return ((u64)(cx & 0x1fffff) << 42) | ((u64)(cy & 0x1fffff) << 21) |
+                   (u64)(cz & 0x1fffff);
+        };
+        auto too_close = [&](const V3 &p, double r2) {
+            for (int dx = -1; dx <= 1; ++dx)
+                for (int dy = -1; dy <= 1; ++dy)
+                    for (int dz = -1; dz <= 1; ++dz) {
+                        const V3 q{p.x + dx * h, p.y + dy * h, p.z + dz * h};
+                        auto it = occ.find(cell_of(q));
+                        if (it == occ.end()) continue;
+                        for (const V3 &o : it->second)
+                            if (norm2(p - o) < r2) return true;
+                    }
+            return false;
+        };
+        const double lattice_jitter = 4e-4;  // lifts grid-degeneracy without disturbing conformity (see sweep in round-2 notes)
+        u64 seed_seed = 0xfeedfacecafe1234ull;
+        auto accept = [&](const V3 &p, double jmag) {
+            // Deterministic real jitter: interior seeds on grid lines/planes would
+            // otherwise create exactly-coplanar quadruples that survive into the
+            // OUTPUT mesh as zero-volume elements (the working-copy jitter only
+            // untangles the Delaunay, not the emitted geometry).
+            V3 q = p;
+            q.x += ((double)(splitmix(seed_seed) >> 11) / 9007199254740992.0 - 0.5) * jmag;
+            q.y += ((double)(splitmix(seed_seed) >> 11) / 9007199254740992.0 - 0.5) * jmag;
+            q.z += ((double)(splitmix(seed_seed) >> 11) / 9007199254740992.0 - 0.5) * jmag;
+            occ[cell_of(q)].push_back(q);
+            all.push_back(q.x);
+            all.push_back(q.y);
+            all.push_back(q.z);
+        };
+
+        std::vector<double> xs;
+        for (int axis = 0; axis < 3; ++axis) {
+            const int u_ax = (axis + 1) % 3, v_ax = (axis + 2) % 3;
+            for (double u = los[u_ax] + 0.5 * h; u < his[u_ax]; u += h)
+                for (double v = los[v_ax] + 0.5 * h; v < his[v_ax]; v += h) {
+                    testers[axis]->line_crossings(u + jy, v + jz, xs);
+                    if (xs.size() & 1) continue;  // grazed a degeneracy; skip the line
+                    for (size_t k = 0; k + 1 < xs.size(); k += 2) {
+                        const double x0 = xs[k], x1 = xs[k + 1];
+                        auto world = [&](double t) {
+                            V3 p;
+                            double c[3];
+                            c[axis] = t;
+                            c[u_ax] = u;
+                            c[v_ax] = v;
+                            p = {c[0], c[1], c[2]};
+                            return p;
+                        };
+                        bool placed = false;
+                        if (axis == 0) {
+                            // The regular grid rides the x lines only (identical point
+                            // set to a full 3-D grid scan); y/z lines contribute
+                            // thin-interval seeds alone.
+                            const double start = los[0] + 0.5 * h;
+                            double g = start + std::ceil((x0 - start) / h) * h;
+                            for (; g < x1; g += h) {
+                                const V3 p = world(g);
+                                if (has_clearance(p.x, p.y, p.z)) {
+                                    accept(p, lattice_jitter * h);
+                                    placed = true;
+                                }
+                            }
+                        } else {
+                            // y/z lines only hunt starved thin intervals: a grid
+                            // coordinate inside the interval means the axis-0 pass
+                            // already considered the 3-D grid point here — it stands
+                            // unless the clearance rule rejected it (in a genuinely
+                            // thin wall the clearance ball never fits, so the probe
+                            // re-checks it).
+                            const double start = los[axis] + 0.5 * h;
+                            double g = start + std::ceil((x0 - start) / h) * h;
+                            if (g < x1) {
+                                const V3 p = world(g);
+                                placed = has_clearance(p.x, p.y, p.z);
+                            }
+                        }
+                        if (!placed && (x1 - x0) < h && (x1 - x0) > 1e-9 * diag &&
+                            thin_seeds < 500000) {
+                            const V3 mid = world(0.5 * (x0 + x1));
+                            const double guard = 0.35 * std::min(h, x1 - x0);
+                            if (!too_close(mid, guard * guard)) {
+                                accept(mid, std::min(lattice_jitter * h, 0.1 * (x1 - x0)));
+                                ++thin_seeds;
+                            }
+                        }
+                    }
                 }
+        }
+    }
     const u64 nall = all.size() / 3;
     prof_counts[0] = (double)(nall - npoints);  // interior lattice points
+    prof_counts[8] = (double)thin_seeds;  // thin-interval mid-wall seeds (subset)
 
     // Jittered working copy (deterministic): resolves cospherical/coplanar degeneracies.
     const double jitter = 1e-7 * diag;
@@ -462,7 +614,7 @@ int tetmesh_delaunay(
     };
     auto recover = [&]() {
         const u64 entry_points = all.size() / 3;  // runaway guard is per-invocation
-        for (int round = 0; round < 6; ++round) {
+        for (int round = 0; round < 24; ++round) {
             prof_counts[3] += 1;  // recovery rounds
             // Face and edge sets of the live triangulation (surface-id space).
             std::unordered_map<u64, char> faces;
@@ -540,7 +692,7 @@ int tetmesh_delaunay(
             }
             constraints.swap(next);
             if (!any_split) break;
-            if (all.size() / 3 > entry_points + 4 * ntris) break;  // runaway guard
+            if (all.size() / 3 > entry_points + 8 * ntris) break;  // runaway guard
         }
     };
     recover();
@@ -621,6 +773,90 @@ int tetmesh_delaunay(
         prof_counts[2] = (double)(all.size() / 3 - pre_refine);  // refine points
         // Recovery Steiner added during refinement passes counts as recovery too.
     }
+    // ---- Sliver repair ----
+    // Interior slivers (near-zero volume, legal Delaunay) previously fell straight to
+    // the carve's drop filter, perforating the FEM domain (the reference REPAIRS
+    // slivers instead: Tetrahedralize.cpp sliver removal around :9528). Repair is the
+    // Delaunay-refinement move: the sliver's circumsphere contains its circumcenter,
+    // so inserting it excavates the sliver; when the circumcenter escapes the domain
+    // (skin-hugging slivers), the longest-edge midpoint stands in. Iterate a few
+    // rounds; anything still flat afterwards is dropped (and counted) as before.
+    {
+        const double flat_eps = 1e-8;  // looser than the carve drop (1e-10): repaired
+                                       // meshes should not sit at the drop edge
+        const u64 repair_budget = all.size() / 3 + 8192;
+        for (int round = 0; round < 5; ++round) {
+            struct Flat { V3 cc; double r; V3 mid; double excl2; bool cc_ok; bool mid_ok; };
+            std::vector<Flat> flats;
+            for (const Tet &t : dl.tets) {
+                if (!t.alive) continue;
+                if (t.v[0] < 4 || t.v[1] < 4 || t.v[2] < 4 || t.v[3] < 4) continue;
+                V3 p[4];
+                for (int k = 0; k < 4; ++k) {
+                    const u32 id = t.v[k] - 4;
+                    p[k] = {all[3 * id], all[3 * id + 1], all[3 * id + 2]};
+                }
+                const V3 &a = p[0];
+                const V3 &b = p[1];
+                const V3 &c = p[2];
+                const V3 &d = p[3];
+                const V3 cen = (a + b + c + d) * 0.25;
+                if (!inside.inside(cen.x, cen.y + jy, cen.z + jz)) continue;
+                const V3 vs[4] = {a, b, c, d};
+                double lmax2 = 0;
+                int ei = 0, ej = 1;
+                for (int i = 0; i < 4; ++i)
+                    for (int j = i + 1; j < 4; ++j) {
+                        const double l2 = norm2(vs[i] - vs[j]);
+                        if (l2 > lmax2) { lmax2 = l2; ei = i; ej = j; }
+                    }
+                const V3 ab_ = b - a, ac_ = c - a, ad_ = d - a;
+                const double vol6 = dot(ad_, cross(ab_, ac_));
+                const double l3 = lmax2 * std::sqrt(lmax2);
+                if (std::fabs(vol6) >= flat_eps * l3) continue;
+                if (std::fabs(vol6) <= 2e-12 * l3) continue;  // exact-degenerate: harmless drop
+                // Circumcenter from the ORIGINAL (unjittered) coordinates.
+                const V3 ab = p[1] - p[0], ac = p[2] - p[0], ad = p[3] - p[0];
+                const double det = 2.0 * dot(ab, cross(ac, ad));
+                const double l2m = std::max({norm2(ab), norm2(ac), norm2(ad)});
+                Flat f{};
+                f.cc_ok = false;
+                f.excl2 = 0.04 * lmax2;  // midpoint spacing guard: 0.2 * longest edge
+                if (std::fabs(det) > 1e-14 * l2m * std::sqrt(l2m)) {
+                    const double rb = norm2(ab), rc = norm2(ac), rd = norm2(ad);
+                    const V3 num =
+                        cross(ac, ad) * rb + cross(ad, ab) * rc + cross(ab, ac) * rd;
+                    f.cc = p[0] + num * (1.0 / det);
+                    f.r = std::sqrt(norm2(f.cc - p[0]));
+                    f.cc_ok = f.r <= 0.25 * diag &&
+                              inside.inside(f.cc.x, f.cc.y + jy, f.cc.z + jz);
+                }
+                f.mid = (p[ei] + p[ej]) * 0.5;
+                f.mid_ok = inside.inside(f.mid.x, f.mid.y + jy, f.mid.z + jz);
+                if (f.cc_ok || f.mid_ok) flats.push_back(f);
+            }
+            if (flats.empty()) break;
+            std::vector<std::pair<V3, double>> placed;
+            int inserted = 0;
+            auto try_place = [&](const V3 &pp, double excl2) {
+                for (const auto &q : placed)
+                    if (norm2(pp - q.first) < std::min(excl2, q.second)) return false;
+                add_point(pp.x, pp.y, pp.z);
+                placed.push_back({pp, excl2});
+                ++inserted;
+                return true;
+            };
+            for (const Flat &f : flats) {
+                if (all.size() / 3 >= repair_budget || inserted >= 512) break;
+                if (f.cc_ok) try_place(f.cc, 0.25 * f.r * f.r);
+                else if (f.mid_ok) try_place(f.mid, f.excl2);
+            }
+            if (!inserted) break;
+            prof_counts[9] += (double)inserted;  // sliver repair points
+            recover();
+        }
+    }
+
     const u64 nfinal = all.size() / 3;
 
     // Carve + collect: drop bounding-tet incidences, keep interior centroids, drop slivers.
@@ -628,21 +864,79 @@ int tetmesh_delaunay(
     for (const Tet &t : dl.tets) {
         if (!t.alive) continue;
         if (t.v[0] < 4 || t.v[1] < 4 || t.v[2] < 4 || t.v[3] < 4) continue;
-        const V3 &a = dl.pts[t.v[0]];
-        const V3 &b = dl.pts[t.v[1]];
-        const V3 &c = dl.pts[t.v[2]];
-        const V3 &d = dl.pts[t.v[3]];
+        // Degeneracy must be judged in the ORIGINAL coordinates — the jitter that
+        // resolves Delaunay ties can make an exactly-coplanar original quadruple look
+        // healthy, and the FEM then receives a zero-volume element.
+        V3 o[4];
+        for (int k = 0; k < 4; ++k) {
+            const u32 id = t.v[k] - 4;
+            o[k] = {all[3 * id], all[3 * id + 1], all[3 * id + 2]};
+        }
+        const V3 &a = o[0];
+        const V3 &b = o[1];
+        const V3 &c = o[2];
+        const V3 &d = o[3];
         const V3 cen = (a + b + c + d) * 0.25;
         if (!inside.inside(cen.x, cen.y + jy, cen.z + jz)) { prof_counts[5] += 1; continue; }
-        const double vol6 = orient3d(a, b, c, d);
+        // Magnitude in plain double: orient3d collapses sub-filter determinants to
+        // +-1 (sign semantics), which would silently keep near-degenerate tets the
+        // FEM degenerate filter (fem/assembly.py, 1e-12) then drops domain-side.
+        const V3 ab_ = b - a, ac_ = c - a, ad_ = d - a;
+        const double det_d = dot(ad_, cross(ab_, ac_));
         double lmax2 = 0;
         const V3 vs[4] = {a, b, c, d};
         for (int i = 0; i < 4; ++i)
             for (int j = i + 1; j < 4; ++j) lmax2 = std::max(lmax2, norm2(vs[i] - vs[j]));
-        if (std::fabs(vol6) < 1e-10 * lmax2 * std::sqrt(lmax2)) { prof_counts[6] += 1; continue; }  // sliver
+        if (std::fabs(det_d) < 2e-12 * lmax2 * std::sqrt(lmax2)) { prof_counts[6] += 1; continue; }  // zero-stiffness flat
+        const double vol6 = det_d;
         std::array<u32, 4> out{t.v[0] - 4, t.v[1] - 4, t.v[2] - 4, t.v[3] - 4};
         if (vol6 < 0) std::swap(out[2], out[3]);  // positive orientation
         keep.push_back(out);
+    }
+
+    // Keep the largest face-connected component: the flat-tet drops above are zero-
+    // measure, but if they formed a membrane the remainder could be disconnected —
+    // a disconnected FEM domain shows up as spurious rigid-body modes downstream.
+    if (!keep.empty()) {
+        std::unordered_map<u64, std::array<int, 2>> face_owner;
+        face_owner.reserve(keep.size() * 4);
+        auto fkey2 = [](u32 a, u32 b, u32 c) {
+            if (a > b) std::swap(a, b);
+            if (b > c) std::swap(b, c);
+            if (a > b) std::swap(a, b);
+            return ((u64)a << 42) | ((u64)b << 21) | c;
+        };
+        static constexpr int FT[4][3] = {{1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
+        std::vector<int> parent(keep.size());
+        for (size_t i = 0; i < keep.size(); ++i) parent[i] = (int)i;
+        std::function<int(int)> find = [&](int x) {
+            while (parent[x] != x) x = parent[x] = parent[parent[x]];
+            return x;
+        };
+        for (size_t i = 0; i < keep.size(); ++i)
+            for (int f = 0; f < 4; ++f) {
+                const u64 k = fkey2(keep[i][FT[f][0]], keep[i][FT[f][1]], keep[i][FT[f][2]]);
+                auto it = face_owner.find(k);
+                if (it == face_owner.end()) face_owner[k] = {(int)i, -1};
+                else if (it->second[1] < 0) {
+                    it->second[1] = (int)i;
+                    parent[find((int)i)] = find(it->second[0]);
+                }
+            }
+        std::unordered_map<int, u64> comp_size;
+        for (size_t i = 0; i < keep.size(); ++i) comp_size[find((int)i)] += 1;
+        int best = -1;
+        u64 best_n = 0;
+        for (const auto &kv : comp_size)
+            if (kv.second > best_n) { best_n = kv.second; best = kv.first; }
+        if (best_n < keep.size()) {
+            std::vector<std::array<u32, 4>> main_comp;
+            main_comp.reserve(best_n);
+            for (size_t i = 0; i < keep.size(); ++i)
+                if (find((int)i) == best) main_comp.push_back(keep[i]);
+            prof_counts[5] += (double)(keep.size() - main_comp.size());  // carved w/ islands
+            keep.swap(main_comp);
+        }
     }
 
     prof_counts[7] = (double)keep.size();

@@ -9,8 +9,11 @@ import hashlib
 
 import numpy as np
 
+import numpy as _np
+
 from mesheditor_tpu.mesh import (
-    cone_surface, cuboid_surface, icosphere_surface, torus_surface, uv_sphere_surface,
+    bowl_surface, cone_surface, cuboid_surface, cylinder_surface, icosphere_surface,
+    shell_surface, torus_surface, uv_sphere_surface,
 )
 from mesheditor_tpu.mesh.cdt import TetProfile, generate_tets_delaunay
 
@@ -22,6 +25,21 @@ def corpus():
     yield "torus", torus_surface(0.5, 0.2, 24, 12)
     yield "uv_sphere", uv_sphere_surface(0.5, 12, 24)
     yield "cone", cone_surface(0.5, 1.0, 24)
+    # Adversarial thin-shell / scanned-class cases (the RealImpact regime:
+    # /root/reference/tests/fixtures/TetCorpusSnapshot.txt pins bowls/plates/skillets;
+    # walls are 2-5% of the diameter, exactly where lattice seeding used to starve).
+    yield "bowl5pct", bowl_surface(0.06, 0.003, 12, 40)
+    yield "bowl2.5pct", bowl_surface(0.06, 0.0015, 12, 40)
+    yield "bowl_scan_noisy", bowl_surface(0.06, 0.003, 12, 40, noise=0.15, seed=7)
+    yield "sphere_shell4pct", shell_surface(*_scaled_icosphere(0.05), 0.002)
+    yield "ellipsoid_shell", shell_surface(
+        *_scaled_icosphere(_np.array([0.06, 0.04, 0.02])), 0.0015)
+    yield "plate_thin", cylinder_surface(0.09, 0.004, 48)
+
+
+def _scaled_icosphere(scale):
+    pts, tris = icosphere_surface(2)
+    return pts * scale, tris
 
 
 def snapshot_lines():
@@ -33,10 +51,11 @@ def snapshot_lines():
             h.update(np.ascontiguousarray(tm.tets).tobytes())
             h.update(np.ascontiguousarray(np.round(tm.points, 12)).tobytes())
             yield (f"{name}@{tag}: tets={prof.tets_kept} pts={tm.points.shape[0]} "
-                   f"lattice={prof.lattice_points} steiner={prof.recovery_steiner} "
-                   f"refine={prof.refine_points} rounds={prof.recovery_rounds} "
-                   f"passes={prof.refine_passes} carved={prof.carved_out} "
-                   f"slivers={prof.slivers_dropped} hash={h.hexdigest()[:16]}")
+                   f"lattice={prof.lattice_points} thin={prof.thin_wall_seeds} "
+                   f"steiner={prof.recovery_steiner} refine={prof.refine_points} "
+                   f"rounds={prof.recovery_rounds} passes={prof.refine_passes} "
+                   f"carved={prof.carved_out} slivers={prof.slivers_dropped} "
+                   f"repaired={prof.sliver_repairs} hash={h.hexdigest()[:16]}")
 
 
 if __name__ == "__main__":

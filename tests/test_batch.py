@@ -18,8 +18,10 @@ class TestPadding:
         alt = mesh2modes(padded, CERAMIC.properties, mesh.points[:3], config=cfg)
         assert alt.modes.num_modes == base.modes.num_modes
         assert np.allclose(alt.modes.freqs, base.modes.freqs, rtol=1e-6)
+        # Shapes are f32-grade (the subspace stage runs float32); near-zero entries
+        # carry ~eps32 * ||shape|| absolute noise, so the floor is 1e-5, not 1e-6.
         assert np.allclose(np.abs(alt.modes.shapes), np.abs(base.modes.shapes),
-                           rtol=1e-3, atol=1e-6)
+                           rtol=1e-3, atol=1e-5)
 
     def test_mass_props_unaffected_by_padding(self):
         mesh = bar_tets(0.2, 0.04, 0.04, 3, 2, 2)
