@@ -618,7 +618,21 @@ def lobpcg_pencil(
     need_polish = tol < f32_floor
     polish_max = min(max_iters, 30)
 
-    def fail(iterations, ops_count):
+    def fail(iterations, ops_count, reason="noconv"):
+        # Cancellation honors the JobMonitor contract (empty result). Numerical
+        # non-convergence falls back to the host sparse shift-invert when the pencil is
+        # host-feasible: the iterative path's preconditioner can stall on irregular CDT
+        # meshes (heterogeneous element sizes weaken the Jacobi/PCG inner solve), and a
+        # slow-but-exact answer beats an empty modal model — the reference never
+        # returns empty for a healthy mesh, only for breakdowns (mesh2modes.cpp:399).
+        if reason != "cancel":
+            cap = int(os.environ.get("MESHEDITOR_TPU_HOST_FALLBACK_N", "120000"))
+            if n <= cap:
+                result = _small_pencil_path(op_state, n, nev, p, sigma, callback)
+                return LobpcgResult(result.eigenvalues, result.eigenvectors,
+                                    iterations + result.iterations,
+                                    ops_count + result.op_applications,
+                                    residual_norms=result.residual_norms)
         return LobpcgResult(np.zeros(0), np.zeros((n, 0)), iterations, ops_count)
 
     # Seed: warm basis columns, then fixed-seed gaussian fill (same determinism
@@ -681,16 +695,14 @@ def lobpcg_pencil(
             if pending is not None:
                 status, lam = check("eig32", pending[0], pending[1], tol32)
                 if status in ("cancel", "nan"):
-                    # Numerical breakdown is a failed solve, like the reference's
-                    # empty-modes path (mesh2modes.cpp:399,479).
-                    return fail(f32_iters, ops_count)
+                    return fail(f32_iters, ops_count, status)
                 if status == "done":
                     break
             pending = (f32_iters, theta_d)
         else:
             status, lam = check("eig32", pending[0], pending[1], tol32)
             if status in ("cancel", "nan"):
-                return fail(f32_iters, ops_count)
+                return fail(f32_iters, ops_count, status)
             if status != "done":
                 return fail(f32_iters, ops_count)
 
@@ -721,7 +733,7 @@ def lobpcg_pencil(
         ops_count += 2
         lam = np.asarray(jax.device_get(theta64_d), np.float64)
     if not np.isfinite(lam[:nev]).all():
-        return fail(f32_iters, ops_count)
+        return fail(f32_iters, ops_count, "nan")
     prev = lam
     streak = 0
     res_norm = None
@@ -738,7 +750,7 @@ def lobpcg_pencil(
             iterations = f32_iters + pit + 1
             status, lam = check("eig64", iterations, theta64_d, tol)
             if status in ("cancel", "nan"):
-                return fail(iterations, ops_count)
+                return fail(iterations, ops_count, status)
             if status == "done":
                 res_norm = np.asarray(jax.device_get(res_d))
                 x_out = _extract_x(s64, c64)
@@ -749,7 +761,7 @@ def lobpcg_pencil(
                     ops_count,
                     residual_norms=res_norm[:nev],
                 )
-    # Convergence failed: empty eigenvalues, like the reference (mesh2modes.cpp:399,479).
+    # Convergence failed: host fallback (or empty when host-infeasible).
     return fail(f32_iters + polish_max, ops_count)
 
 
