@@ -1,0 +1,397 @@
+"""Rigid-body-mode aggregation AMG preconditioner for the shifted pencil A = K - sigma*M.
+
+Why this exists: the eigensolver's inner solve (lobpcg.py) approximates the reference's
+sparse-Cholesky shift-invert (src/audio/CholeskyShiftInvert.cpp:26-62) with fixed-iteration
+PCG. Jacobi preconditioning resolves the HIGH end of A's spectrum but is blind to the
+near-kernel: for free-free elasticity, A's lowest eigenvalues are ~|sigma|*mass (the six
+rigid-body modes barely lifted by the shift) while the top sits at element-stiffness scale
+— a ~1e11 spread no diagonal scaling touches. On irregular CDT meshes the outer LOBPCG
+then converges at ~0.85/iteration and never settles.
+
+The fix is the textbook one for elasticity, recast TPU-first: a two-level aggregation
+multigrid whose coarse space contains the rigid-body modes of every aggregate — exactly
+the directions Jacobi cannot see. Host numpy builds the structure once per solve
+(aggregation over the element co-occurrence graph, per-aggregate rigid-body QR); the
+coarse operator is Galerkin-assembled ON DEVICE from the f64 element blocks (pulling
+(E,30,30) blocks across the axon tunnel would take minutes; a device scan takes
+milliseconds), and the V-cycle application is three fused device ops: damped-Jacobi
+smoothing, a gather/segment-sum restriction, and one dense coarse matmul.
+
+Precision: the coarse pencil spans |sigma|*mass .. element-stiffness — ~1e11 dynamic
+range — so its factorization runs f64 (small and one-time; f32 Cholesky noise
+eps32*||Ac|| would be larger than the entire rigid-body end, which is the very part the
+coarse grid exists to correct). The smoother and transfer operators stay f32.
+
+The V-cycle serves as the preconditioner inside the same blocked PCG the solver already
+runs (lobpcg._pcg_block); each application costs two extra A-panels (the pre/post-smooth
+residuals), repaid by an order-of-magnitude stronger spectral equivalence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AmgPrecond:
+    """Two-level aggregation-AMG V-cycle for the shifted pencil. A jax pytree: passing
+    it through the solver's module-level jitted stages retraces once per structure.
+
+    The rigid/m_rigid pair implements the precision guard that makes the cycle f32-
+    viable: A's true near-kernel is the global rigid-body space, whose coarse inverse
+    amplifies by 1/(|sigma|*mass) ~ 1e9x — far beyond what the f32 residual noise floor
+    (eps32 * ||A||) tolerates, so an unguarded coarse correction amplifies pure noise
+    into enormous rigid displacements (measured 470x residual GROWTH per cycle). The
+    eigensolver seeds those modes exactly and keeps its residuals orthogonal to them,
+    so the correction may simply be M-deflated against them: what remains amplifies at
+    most by 1/lambda_elastic_1, comfortably inside f32 range."""
+
+    agg6: jax.Array  # (n_nodes, 6) int32 — coarse dof ids (aggregate*6 + component)
+    w: jax.Array  # (n_nodes, 3, 6) f32 — node blocks of the rigid-body prolongator
+    ac_inv: jax.Array  # (nc, nc) f64 — inverse coarse operator
+    inv_diag: jax.Array  # (n_dofs,) f32 — Jacobi of the shifted pencil
+    rigid: jax.Array  # (n_dofs, 6*ncomp) f32 — M-orthonormal global rigid modes
+    m_rigid: jax.Array  # (n_dofs, 6*ncomp) f32 — M @ rigid
+    omega: float  # smoother damping
+    nagg: int
+
+    def apply(self, apply_a, r):
+        """ADDITIVE two-level preconditioner z = omega*D^-1 r + P Ac^-1 P^T r for an
+        (n, p) f32 panel, with the coarse term M-deflated against the rigid modes.
+
+        Additive (BPX/additive-Schwarz shape), NOT a multiplicative V-cycle, on
+        purpose: the V-cycle's intermediate residuals r - A x are f32 A-applies whose
+        cancellation noise (eps32 * ||A|| * ||x||) feeds the near-singular coarse
+        inverse and re-enters through stiff directions of A — measured 3.5-470x
+        residual GROWTH per cycle depending on the rhs. The additive form never
+        applies A inside the preconditioner, so the only f32 hazard is the rigid-mode
+        amplification, which the deflation removes. `apply_a` is accepted (and
+        ignored) so the solver can treat every preconditioner uniformly."""
+        del apply_a
+        nn = self.w.shape[0]
+        p = r.shape[1]
+        om = jnp.asarray(self.omega, r.dtype)
+        # Two-sided M-deflation Pi B Pi^T (Pi = I - R (M R)^T): one-sided deflation is
+        # an ASYMMETRIC operator, which silently violates PCG's SPD contract; the
+        # symmetric sandwich both strips rigid components from the input (so the
+        # near-singular coarse inverse never sees them) and from the output (so the
+        # amplified response never re-enters).
+        rd = r - self.m_rigid @ (self.rigid.T @ r)
+        rn = jnp.einsum("nck,ncp->nkp", self.w, rd.reshape(nn, 3, p))  # (nn, 6, p)
+        rc = jax.ops.segment_sum(
+            rn.reshape(nn * 6, p),
+            self.agg6.reshape(-1),
+            num_segments=self.nagg * 6,
+        )
+        xc = (self.ac_inv @ rc.astype(jnp.float64)).astype(r.dtype)
+        e = jnp.einsum("nck,nkp->ncp", self.w, xc[self.agg6]).reshape(-1, p)
+        e = e - self.rigid @ (self.m_rigid.T @ e)
+        return om * self.inv_diag[:, None] * r + e
+
+
+jax.tree_util.register_dataclass(
+    AmgPrecond,
+    data_fields=("agg6", "w", "ac_inv", "inv_diag", "rigid", "m_rigid"),
+    meta_fields=("omega", "nagg"),
+)
+
+
+def _components(element_nodes: np.ndarray, n_nodes: int):
+    """Connected components of the element-node graph (scipy union-find). Disconnected
+    meshes carry 6 rigid modes PER component; deflation and seeding must cover all."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    en = np.asarray(element_nodes, np.int64)
+    rows = en[:, :-1].reshape(-1)
+    cols = en[:, 1:].reshape(-1)
+    g = sp.coo_matrix(
+        (np.ones(rows.size, np.int8), (rows, cols)), shape=(n_nodes, n_nodes)
+    )
+    _, labels = connected_components(g, directed=False)
+    labels = labels.copy()
+    touched = np.zeros(n_nodes, bool)
+    touched[en.reshape(-1)] = True
+    # Re-label so only element-touched components count; orphans get -1.
+    live = np.unique(labels[touched])
+    remap = np.full(labels.max() + 1, -1, np.int64)
+    remap[live] = np.arange(live.size)
+    labels = np.where(touched, remap[labels], -1)
+    return labels, live.size
+
+
+def rigid_modes(coords: np.ndarray, comp: np.ndarray, ncomp: int, n_dofs: int):
+    """Per-component rigid-body modes as (n_dofs, 6*ncomp) float64, un-normalized
+    (callers M-orthonormalize against the actual mass matrix)."""
+    r = np.zeros((n_dofs, 6 * ncomp))
+    for c in range(ncomp):
+        idx = np.where(comp == c)[0]
+        if idx.size == 0:
+            continue
+        x = coords[idx]
+        ctr = x.mean(axis=0)
+        d = x - ctr
+        scale = max(float(np.abs(d).max()), 1e-30)
+        ds = d / scale
+        base = 6 * c
+        rows = 3 * idx
+        r[rows + 0, base + 0] = 1.0
+        r[rows + 1, base + 1] = 1.0
+        r[rows + 2, base + 2] = 1.0
+        r[rows + 1, base + 3], r[rows + 2, base + 3] = -ds[:, 2], ds[:, 1]
+        r[rows + 0, base + 4], r[rows + 2, base + 4] = ds[:, 2], -ds[:, 0]
+        r[rows + 0, base + 5], r[rows + 1, base + 5] = -ds[:, 1], ds[:, 0]
+    return r
+
+
+def _quad_node_coords(points: np.ndarray, kept_tets: np.ndarray, n_nodes: int):
+    """Coordinates for all quadratic nodes: corners then mid-edge midpoints, in the
+    exact id order build_quad_mesh assigns (same unique-key recomputation,
+    fem/quad_mesh.py:26-39)."""
+    from ..fem.quad_basis import EDGE_CORNERS
+
+    points = np.asarray(points, np.float64)
+    tets = np.asarray(kept_tets, np.int64)
+    ec = np.asarray(EDGE_CORNERS, np.int64)
+    a = tets[:, ec[:, 0]]
+    b = tets[:, ec[:, 1]]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keys = np.unique(((lo << np.int64(32)) | hi).reshape(-1))
+    coords = np.zeros((n_nodes, 3))
+    npts = points.shape[0]
+    coords[:npts] = points
+    e_lo = (keys >> np.int64(32)).astype(np.int64)
+    e_hi = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
+    coords[npts : npts + keys.size] = 0.5 * (points[e_lo] + points[e_hi])
+    return coords
+
+
+def _aggregate(element_nodes: np.ndarray, n_nodes: int, max_aggs: int):
+    """Greedy distance-1 aggregation over the element co-occurrence node graph, with
+    pairwise merge rounds until the aggregate count fits the coarse-dof budget.
+    Deterministic (id order). Returns (agg ids (n_nodes,), nagg); orphan nodes -1."""
+    en = np.asarray(element_nodes, np.int64)
+    m = en.shape[0]
+    # CSR node->elements.
+    counts = np.bincount(en.reshape(-1), minlength=n_nodes)
+    eptr = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(counts, out=eptr[1:])
+    order = np.argsort(en.reshape(-1), kind="stable")
+    eids = order // 10  # element of each sorted node slot
+    agg = np.full(n_nodes, -1, np.int64)
+    touched = counts > 0
+    nagg = 0
+    for v in range(n_nodes):
+        if agg[v] != -1 or not touched[v]:
+            continue
+        neigh = en[eids[eptr[v] : eptr[v + 1]]].reshape(-1)
+        members = neigh[agg[neigh] == -1]
+        agg[members] = nagg
+        agg[v] = nagg
+        nagg += 1
+    # Attach any stragglers (can't occur with distance-1 sweeps, but keep it safe).
+    for v in range(n_nodes):
+        if agg[v] == -1 and touched[v]:
+            neigh = en[eids[eptr[v] : eptr[v + 1]]].reshape(-1)
+            owned = agg[neigh]
+            owned = owned[owned >= 0]
+            agg[v] = owned[0] if owned.size else 0
+    # Merge rounds: halve the aggregate count by merging each aggregate into a
+    # neighboring one (union over member nodes' element neighborhoods).
+    while nagg > max_aggs:
+        merge_to = np.full(nagg, -1, np.int64)
+        taken = np.zeros(nagg, bool)
+        # Aggregate adjacency via element membership: for each element, its nodes'
+        # aggregates are mutually adjacent; pair each aggregate with the first
+        # un-taken neighbor encountered.
+        ea = agg[en]  # (m, 10)
+        for e in range(m):
+            row = ea[e]
+            base = row[0]
+            for k in range(1, 10):
+                a2, b2 = row[k - 1], row[k]
+                if a2 != b2:
+                    lo2, hi2 = (a2, b2) if a2 < b2 else (b2, a2)
+                    if merge_to[hi2] == -1 and not taken[lo2] and not taken[hi2] and lo2 != hi2:
+                        merge_to[hi2] = lo2
+                        taken[lo2] = taken[hi2] = True
+            _ = base
+        relabel = np.arange(nagg)
+        src = np.where(merge_to >= 0)[0]
+        relabel[src] = merge_to[src]
+        # Compress ids.
+        uniq, inv = np.unique(relabel, return_inverse=True)
+        agg = np.where(agg >= 0, inv[np.clip(agg, 0, None)], -1)
+        if uniq.size == nagg:  # no merges possible; accept the size
+            break
+        nagg = uniq.size
+    return agg, nagg
+
+
+def _rigid_weights(coords: np.ndarray, agg: np.ndarray, nagg: int):
+    """Per-node (3,6) blocks of the aggregate-wise rigid-body prolongator, orthonormal
+    per aggregate (QR of [translations | rotations-about-centroid])."""
+    n_nodes = coords.shape[0]
+    w = np.zeros((n_nodes, 3, 6), np.float64)
+    for a in range(nagg):
+        idx = np.where(agg == a)[0]
+        if idx.size == 0:
+            continue
+        x = coords[idx]
+        c = x.mean(axis=0)
+        d = x - c
+        scale = max(float(np.abs(d).max()), 1e-30)
+        k = idx.size
+        b = np.zeros((3 * k, 6))
+        b[0::3, 0] = b[1::3, 1] = b[2::3, 2] = 1.0
+        # Rotation columns e_j x (x - c), scaled to O(1) for QR conditioning.
+        ds = d / scale
+        b[1::3, 3], b[2::3, 3] = -ds[:, 2], ds[:, 1]
+        b[0::3, 4], b[2::3, 4] = ds[:, 2], -ds[:, 0]
+        b[0::3, 5], b[1::3, 5] = -ds[:, 1], ds[:, 0]
+        q, r = np.linalg.qr(b)
+        # Degenerate aggregates (single node, collinear nodes) leave trailing R diag
+        # ~0; those q columns are arbitrary-but-orthonormal, harmless under the
+        # coarse-diag regularization in build_amg.
+        cols = min(6, q.shape[1])
+        w[idx, :, :cols] = q[:, :cols].reshape(k, 3, cols)
+    return w
+
+
+# Elements per coarse-assembly scan step: bounds the (chunk, 10, 6, 10, 6) f64
+# temporary to ~60 MB.
+_AC_CHUNK = 2048
+
+
+@partial(jax.jit, static_argnames=("nagg",))
+def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w64, agg6, sigma, nagg):
+    """Galerkin coarse operator Ac = P^T (K - sigma*M) P from f64 element blocks,
+    scanned in chunks on device."""
+    nc = nagg * 6
+    e_total = k_blocks.shape[0]
+    pad = (-e_total) % _AC_CHUNK
+    ab = k_blocks - sigma * (rho_vol[:, None, None] * m_unit[None])
+    ab = jnp.pad(ab, ((0, pad), (0, 0), (0, 0)))
+    en = jnp.pad(element_nodes, ((0, pad), (0, 0)))
+    # Padded elements scatter zeros (their blocks are zero) — node ids 0 are fine.
+    nsteps = ab.shape[0] // _AC_CHUNK
+    ab = ab.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
+    en = en.reshape(nsteps, _AC_CHUNK, 10)
+
+    def step(ac, chunk):
+        blocks, nodes = chunk
+        wn = w64[nodes]  # (C, 10, 3, 6)
+        t = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, blocks, wn)
+        ii = agg6[nodes][:, :, :, None, None]  # (C, 10, 6, 1, 1)
+        jj = agg6[nodes][:, None, None, :, :]  # (C, 1, 1, 10, 6)
+        return ac.at[ii, jj].add(t), None
+
+    ac0 = jnp.zeros((nc, nc), jnp.float64)
+    ac, _ = jax.lax.scan(step, ac0, (ab, en))
+    return ac
+
+
+@jax.jit
+def _coarse_invert(ac):
+    """f64 inverse of the regularized coarse operator. Dead coarse dofs (zero rows from
+    degenerate aggregates) get unit diagonals; live dofs get a relative nudge that is
+    far below the physical entries but keeps Cholesky positive under roundoff."""
+    nc = ac.shape[0]
+    ac = 0.5 * (ac + ac.T)
+    diag = jnp.diagonal(ac)
+    dead = diag <= 0
+    scale = jnp.maximum(jnp.max(diag), 1e-300)
+    ac = ac + jnp.diag(jnp.where(dead, scale, 1e-12 * diag))
+    ell = jnp.linalg.cholesky(ac)
+    linv = jax.scipy.linalg.solve_triangular(ell, jnp.eye(nc, dtype=ac.dtype), lower=True)
+    return linv.T @ linv
+
+
+@partial(jax.jit, static_argnames=("seed_dim",))
+def _dinv_a_radius(shifted, inv_diag, seed_dim):
+    """Spectral radius of D^-1 A by power iteration (f32, device). The Jacobi smoother
+    x <- x + omega*D^-1 r is contractive only for omega < 2/rho; for quadratic tets
+    rho(D^-1 K) routinely exceeds 2, so a fixed textbook omega makes the V-cycle
+    DIVERGENT and the PCG wrapped around it blows up. 12 iterations of power iteration
+    over a small panel pin rho to a few percent, plenty for a safe margin."""
+    z = jax.random.normal(jax.random.PRNGKey(7), (inv_diag.shape[0], seed_dim),
+                          dtype=jnp.float32)
+
+    def body(_, z):
+        y = inv_diag[:, None] * shifted.amat(z)
+        return y / jnp.maximum(jnp.linalg.norm(y, axis=0, keepdims=True), 1e-30)
+
+    z = jax.lax.fori_loop(0, 12, body, z)
+    y = inv_diag[:, None] * shifted.amat(z)
+    return jnp.max(jnp.linalg.norm(y, axis=0))
+
+
+def build_amg(
+    points: np.ndarray,
+    kept_tets: np.ndarray,
+    quad,
+    ops,
+    k_diag: jax.Array,
+    m_diag: jax.Array,
+    sigma: float,
+    *,
+    max_coarse_dofs: int = 4096,
+    omega: float = 0.0,
+) -> AmgPrecond:
+    """Build the two-level preconditioner for this solve's pencil.
+
+    Host: aggregation + rigid-body QR (numpy, one pass). Device: Galerkin coarse
+    assembly from the already-resident f64 element blocks + f64 coarse inverse."""
+    n_nodes = quad.node_count
+    coords = _quad_node_coords(points, kept_tets, n_nodes)
+    agg, nagg = _aggregate(np.asarray(quad.element_nodes), n_nodes, max_coarse_dofs // 6)
+    w = _rigid_weights(coords, np.clip(agg, 0, None), nagg)
+    w[agg < 0] = 0.0  # orphan nodes contribute nothing to the coarse space
+    agg_safe = np.clip(agg, 0, None).astype(np.int32)
+    agg6 = agg_safe[:, None] * 6 + np.arange(6, dtype=np.int32)[None, :]
+
+    w64_d = jnp.asarray(w)
+    agg6_d = jnp.asarray(agg6)
+    ac = _coarse_assemble(
+        ops.k_blocks, ops.rho_vol, ops.m_unit,
+        jnp.asarray(np.asarray(quad.element_nodes, np.int32)),
+        w64_d, agg6_d, jnp.float64(sigma), nagg,
+    )
+    ac_inv = _coarse_invert(ac)
+    inv_diag = (1.0 / (k_diag - sigma * m_diag)).astype(jnp.float32)
+
+    # Global per-component rigid modes, M-orthonormalized on device (f64 pencil apply
+    # once; the 6c x 6c Gram factors on host).
+    comp, ncomp = _components(np.asarray(quad.element_nodes), n_nodes)
+    r_raw = rigid_modes(coords, comp, max(ncomp, 1), ops.n_dofs)
+    r_dev = jnp.asarray(r_raw)
+    mr = ops.mmat(r_dev)
+    g = np.asarray(r_dev.T @ mr)
+    g = 0.5 * (g + g.T)
+    ell = np.linalg.cholesky(g + 1e-14 * np.trace(g) / g.shape[0] * np.eye(g.shape[0]))
+    linv_t = np.linalg.inv(ell).T
+    r_on = r_dev @ jnp.asarray(linv_t)
+    mr_on = mr @ jnp.asarray(linv_t)
+
+    if not omega:
+        from ..fem.assembly import bake_shifted_f32
+
+        shifted = bake_shifted_f32(ops, sigma)
+        rho = float(_dinv_a_radius(shifted, inv_diag, 4))
+        omega = 1.0 / (1.05 * max(rho, 1.0))
+    return AmgPrecond(
+        agg6=agg6_d,
+        w=w64_d.astype(jnp.float32),
+        ac_inv=ac_inv,
+        inv_diag=inv_diag,
+        rigid=r_on.astype(jnp.float32),
+        m_rigid=mr_on.astype(jnp.float32),
+        omega=float(omega),
+        nagg=int(nagg),
+    )

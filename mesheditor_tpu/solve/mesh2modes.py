@@ -144,6 +144,19 @@ def mesh2modes(
     t0 = time.perf_counter()
     k_diag, m_diag = pencil_diagonals(ops)
     k_diag.block_until_ready()
+    # Preconditioner setup = the reference's Factorize stage (mesh2modes.h:30-50): the
+    # rigid-body aggregation AMG replaces the sparse Cholesky factorization — the
+    # structure build (host aggregation + device Galerkin coarse assembly + f64 coarse
+    # inverse) happens once per solve, the application every inner iteration.
+    precond = None
+    small_n = int(os.environ.get("MESHEDITOR_TPU_SMALL_N", "9000"))
+    if os.environ.get("MESHEDITOR_TPU_AMG", "1") != "0" and n > small_n:
+        from .amg import build_amg
+
+        try:
+            precond = build_amg(tets.points, kept, quad, ops, k_diag, m_diag, sigma)
+        except Exception:
+            precond = None  # Jacobi fallback; the host path still backstops robustness
     profile.factorize = time.perf_counter() - t0  # preconditioner setup
 
     x0 = None
@@ -180,6 +193,7 @@ def mesh2modes(
         max_iters=config.max_restarts,
         inner_iters=inner_iters,
         callback=callback,
+        precond=precond,
     )
     profile.iterate = time.perf_counter() - t0
     profile.op_applications = eig.op_applications
