@@ -133,6 +133,40 @@ def cmd_bench(args):
     run()
 
 
+def cmd_sessions(args):
+    """Crash-recovery sessions: list restore dirs, replay one, or verify replay
+    determinism (reference: File > Restore, main.cpp:928-938; self-test :409-423)."""
+    from .scene.session import SessionStore, verify_replay
+
+    store = SessionStore(args.root)
+    if args.action == "list":
+        sessions = store.list()
+        if not sessions:
+            print("no sessions")
+            return
+        for d in sessions:
+            n_actions = sum(1 for line in open(d / "actions.log")) if (
+                d / "actions.log").exists() else 0
+            print(f"{d.name}: {n_actions} actions")
+    elif args.action == "restore":
+        import json as _json
+
+        from .scene.components import Name
+        from .scene.snapshot import snapshot_scene
+
+        d = store.list()[-1] if args.session is None else store.root / args.session
+        r = store.restore(d)
+        names = [r.get(e, Name).value for e in r.entities() if r.has(e, Name)]
+        print(f"restored {d.name}: {len(names)} named objects: {names[:16]}")
+        if args.out:
+            from .io.project import save_project
+
+            save_project(args.out, r)
+            print(f"saved {args.out}")
+        fixture = verify_replay(r, d)
+        print("replay self-test:", "byte-exact" if fixture is None else f"DIVERGED -> {fixture}")
+
+
 def cmd_record(args):
     """Fixed-step turntable recording (the reference's --record capture,
     main.cpp CLI + VideoRecorder)."""
@@ -250,6 +284,14 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    ses = sub.add_parser("sessions", help="list/restore crash-recovery sessions")
+    ses.add_argument("action", choices=["list", "restore"])
+    ses.add_argument("session", nargs="?", default=None,
+                     help="session dir name (default: most recent)")
+    ses.add_argument("--root", default=None, help="session root dir override")
+    ses.add_argument("--out", default=None, help="save restored scene as .project")
+    ses.set_defaults(fn=cmd_sessions)
 
     rec = sub.add_parser("record", help="turntable-record a mesh/scene to gif/mp4/png")
     rec.add_argument("scene", help=".obj/.ply/.gltf/.glb")

@@ -83,6 +83,22 @@ def generate_tets_delaunay(
     lib = _load()
     pts = np.ascontiguousarray(positions, dtype=np.float64).reshape(-1, 3)
     tt = np.ascontiguousarray(tris, dtype=np.uint32).reshape(-1, 3)
+    # Watertightness gate: the mesher's inside test (ray-crossing parity) silently
+    # tolerates small holes, producing a plausible-looking but wrong domain. The
+    # reference requires a closed surface as an input CONTRACT
+    # (Tetrahedralize.h:44-60); enforce it up front with the standard manifold-edge
+    # count and name the open edges in the error.
+    a = np.minimum(tt, np.roll(tt, -1, axis=1)).astype(np.int64)
+    b = np.maximum(tt, np.roll(tt, -1, axis=1)).astype(np.int64)
+    keys = (a.reshape(-1) << np.int64(32)) | b.reshape(-1)
+    _, counts = np.unique(keys, return_counts=True)
+    n_open = int((counts != 2).sum())
+    if n_open:
+        raise ValueError(
+            f"surface is not watertight: {n_open} edges are not shared by exactly "
+            f"two triangles (open boundary or non-manifold fin) — close the surface "
+            f"before tetrahedralization"
+        )
     scale = ctypes.c_double(0.0)
     ntets = ctypes.c_uint64(0)
     npts = ctypes.c_uint64(0)

@@ -75,12 +75,19 @@ class ActionLog:
         while True:
             item = self._q.get()
             if item is None:
+                self._q.task_done()
                 break
             self._file.write(item + "\n")
             self._file.flush()
+            self._q.task_done()
 
     def record(self, action: Action) -> None:
         self._q.put(encode_action(action))
+
+    def drain(self) -> None:
+        """Block until every queued record is flushed to disk — the durability
+        barrier callers place at frame or checkpoint boundaries."""
+        self._q.join()
 
     def close(self) -> None:
         self._q.put(None)
