@@ -133,6 +133,32 @@ def cmd_bench(args):
     run()
 
 
+def cmd_edit(args):
+    """Interactive viewer/editor (reference: the windowed app, main.cpp:847-1185).
+
+    Defaults to the CPU backend: interactive frames are small and latency-bound, and
+    the tunneled TPU pays seconds of device-init plus per-frame round-trips that a
+    local session never amortizes (--tpu opts in for big scenes)."""
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .app import ViewerApp, serve
+
+    registry = None
+    if args.scene:
+        if str(args.scene).endswith(".project"):
+            from .io.project import load_project
+
+            registry = load_project(args.scene)
+        else:
+            from .io.gltf import import_gltf
+
+            registry = import_gltf(args.scene)
+    app = ViewerApp(registry, width=args.width, height=args.height, audio=args.audio)
+    serve(app, port=args.port)
+
+
 def cmd_sessions(args):
     """Crash-recovery sessions: list restore dirs, replay one, or verify replay
     determinism (reference: File > Restore, main.cpp:928-938; self-test :409-423)."""
@@ -284,6 +310,16 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    ed = sub.add_parser("edit", help="interactive browser viewer/editor")
+    ed.add_argument("scene", nargs="?", default=None, help="glTF/.project to open")
+    ed.add_argument("--port", type=int, default=8731)
+    ed.add_argument("--audio", action="store_true", help="solve modal models at load; strike mode plays audio")
+    ed.add_argument("--width", type=int, default=960)
+    ed.add_argument("--height", type=int, default=600)
+    ed.add_argument("--tpu", action="store_true",
+                    help="render frames on the TPU (default: CPU — lower latency)")
+    ed.set_defaults(fn=cmd_edit)
 
     ses = sub.add_parser("sessions", help="list/restore crash-recovery sessions")
     ses.add_argument("action", choices=["list", "restore"])

@@ -15,7 +15,8 @@ def write_wav(path, samples: np.ndarray, sample_rate: int = 48_000) -> None:
     channels, n = samples.shape
     clipped = np.clip(samples, -1.0, 1.0)
     pcm = (clipped * 32767.0).astype("<i2").T.reshape(-1)
-    with wave.open(str(path), "wb") as w:
+    target = path if hasattr(path, "write") else str(path)
+    with wave.open(target, "wb") as w:
         w.setnchannels(channels)
         w.setsampwidth(2)
         w.setframerate(int(sample_rate))

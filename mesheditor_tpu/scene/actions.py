@@ -120,6 +120,20 @@ class StrikeVertex:
 
 
 @dataclass
+class AddPrimitive:
+    """Create an object carrying a parametric primitive surface — the replayable
+    form of the reference's object-add ops (src/object/, PrimitiveType.h:14-52).
+    The mesh is derived from (kind, size, detail) at apply time, so replay rebuilds
+    it deterministically without serializing vertex data into the log."""
+
+    entity: Entity = 0
+    name: str = ""
+    kind: str = "icosphere"  # icosphere|cuboid|torus|uv_sphere|cylinder|cone|plane
+    size: float = 1.0
+    detail: int = 2
+
+
+@dataclass
 class SilenceObject:
     entity: Entity = 0
 
@@ -145,6 +159,7 @@ class SetGain:
 Action = Union[
     AddObject, RemoveObject, SetParent, SetTransform, SetField, SetAcousticMaterial,
     SetModalModel, StrikeVertex, SilenceObject, SetFundamental, SetT60Scale, SetGain,
+    AddPrimitive,
 ]
 
 def _component_registry():
@@ -176,6 +191,34 @@ def apply_action(r: Registry, action: Action, synth_hooks=None) -> Entity | None
     """The single mutation point (reference: action::ApplyEmitted/ApplyNow). Returns the
     entity an AddObject allocated. `synth_hooks` (optional) receives strike/silence
     intents — the bridge into the audio engine, kept out of the registry."""
+    if isinstance(action, AddPrimitive):
+        from ..mesh import (
+            cone_surface, cuboid_surface, cylinder_surface, icosphere_surface,
+            plane_surface, torus_surface, uv_sphere_surface,
+        )
+
+        sub = AddObject(entity=action.entity, name=action.name or action.kind)
+        e = apply_action(r, sub, synth_hooks)
+        action.entity = sub.entity
+        s, d = float(action.size), int(action.detail)
+        if action.kind == "cuboid":
+            pts, tris = cuboid_surface((s, s, s))
+        elif action.kind == "torus":
+            pts, tris = torus_surface(s * 0.5, s * 0.2, 8 * d, 4 * d)
+        elif action.kind == "uv_sphere":
+            pts, tris = uv_sphere_surface(s * 0.5, 6 * d, 12 * d)
+        elif action.kind == "cylinder":
+            pts, tris = cylinder_surface(s * 0.5, s, 12 * d)
+        elif action.kind == "cone":
+            pts, tris = cone_surface(s * 0.5, s, 12 * d)
+        elif action.kind == "plane":
+            pts, tris = plane_surface(s, s)
+        else:
+            pts, tris = icosphere_surface(d)
+            pts = pts * (s * 0.5)
+        r.emplace(e, MeshSurface(positions=np.asarray(pts, np.float64),
+                                 triangles=np.asarray(tris, np.uint32)))
+        return e
     if isinstance(action, AddObject):
         e = action.entity or r.create()
         if action.entity and not r.valid(action.entity):

@@ -24,7 +24,7 @@ from .registry import Registry
 _ACTION_TYPES = {
     t.__name__: t
     for t in (
-        A.AddObject, A.RemoveObject, A.SetParent, A.SetTransform, A.SetField,
+        A.AddObject, A.AddPrimitive, A.RemoveObject, A.SetParent, A.SetTransform, A.SetField,
         A.SetAcousticMaterial, A.SetModalModel, A.StrikeVertex, A.SilenceObject,
         A.SetFundamental, A.SetT60Scale, A.SetGain,
     )

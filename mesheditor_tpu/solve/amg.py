@@ -299,18 +299,38 @@ def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w64, agg6, sigma,
 
 @jax.jit
 def _coarse_invert(ac):
-    """f64 inverse of the regularized coarse operator. Dead coarse dofs (zero rows from
-    degenerate aggregates) get unit diagonals; live dofs get a relative nudge that is
-    far below the physical entries but keeps Cholesky positive under roundoff."""
+    """f64 inverse of the regularized coarse operator via NEWTON-SCHULZ, not Cholesky.
+
+    Why: dense f64 Cholesky + triangular inverse on TPU are partially SEQUENTIAL
+    algorithms — measured 108 s at 3840^2 through the device (each blocked step pays
+    the f64 emulation tax serially). Newton-Schulz X <- X (2I - A X) is nothing but
+    f64 matmuls, which the MXU emulates efficiently in bulk; with symmetric diagonal
+    equilibration the iteration count is ~log2(cond) + a quadratic tail, fixed here at
+    a count that covers cond up to ~1e18. Dead coarse dofs (zero rows from degenerate
+    aggregates) get unit diagonals; live dofs a relative nudge for PD-ness."""
     nc = ac.shape[0]
     ac = 0.5 * (ac + ac.T)
     diag = jnp.diagonal(ac)
     dead = diag <= 0
     scale = jnp.maximum(jnp.max(diag), 1e-300)
     ac = ac + jnp.diag(jnp.where(dead, scale, 1e-12 * diag))
-    ell = jnp.linalg.cholesky(ac)
-    linv = jax.scipy.linalg.solve_triangular(ell, jnp.eye(nc, dtype=ac.dtype), lower=True)
-    return linv.T @ linv
+    # Symmetric equilibration: As = D^-1/2 A D^-1/2 has unit diagonal; its condition
+    # is within a factor nc of the best diagonal scaling (van der Sluis).
+    d = jnp.diagonal(ac)
+    dinv_sqrt = jax.lax.rsqrt(d)
+    a_s = ac * dinv_sqrt[:, None] * dinv_sqrt[None, :]
+    # X0 = I / ||As||_F guarantees mu0 = lambda/||As||_F in (0, 1] for SPD As.
+    nrm = jnp.sqrt(jnp.sum(a_s * a_s))
+    x = jnp.eye(nc, dtype=ac.dtype) / nrm
+    eye2 = 2.0 * jnp.eye(nc, dtype=ac.dtype)
+
+    def body(_, x):
+        ax = a_s @ x
+        x = x @ (eye2 - ax)
+        return 0.5 * (x + x.T)  # symmetrize: keeps the iterate SPD under roundoff
+
+    x = jax.lax.fori_loop(0, 70, body, x)
+    return x * dinv_sqrt[:, None] * dinv_sqrt[None, :]
 
 
 @partial(jax.jit, static_argnames=("seed_dim",))
@@ -363,7 +383,19 @@ def build_amg(
         jnp.asarray(np.asarray(quad.element_nodes, np.int32)),
         w64_d, agg6_d, jnp.float64(sigma), nagg,
     )
-    ac_inv = _coarse_invert(ac)
+    if jax.default_backend() == "cpu":
+        # LAPACK beats emulated-matmul Newton-Schulz on host; device arrays are free
+        # to round-trip here (no tunnel).
+        ac_h = np.asarray(ac)
+        ac_h = 0.5 * (ac_h + ac_h.T)
+        dg = np.diagonal(ac_h)
+        ac_h = ac_h + np.diag(np.where(dg <= 0, max(dg.max(), 1e-300), 1e-12 * dg))
+        inv_h = np.linalg.inv(ac_h)
+        # PCG requires an exactly symmetric preconditioner; LAPACK's LU inverse is
+        # only symmetric to roundoff, so symmetrize.
+        ac_inv = jnp.asarray(0.5 * (inv_h + inv_h.T))
+    else:
+        ac_inv = _coarse_invert(ac)
     inv_diag = (1.0 / (k_diag - sigma * m_diag)).astype(jnp.float32)
 
     # Global per-component rigid modes, M-orthonormalized on device (f64 pencil apply

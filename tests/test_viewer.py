@@ -1,0 +1,95 @@
+"""Interactive viewer shell (app/viewer.py): event grammar, picking, gizmo drags, and
+the replay determinism the reference's in-app self-test enforces (main.cpp:409-423).
+
+Driven headless through ViewerApp.handle() — the same entry the HTTP layer calls — so
+the tests cover the composition (actions -> derive -> render -> pick) without a
+browser.
+"""
+
+import numpy as np
+
+import mesheditor_tpu  # noqa: F401
+from mesheditor_tpu.app.viewer import ViewerApp, _encode_png
+from mesheditor_tpu.scene.components import MeshSurface, Name, Transform
+
+
+def make_app(tmp_path, **kw):
+    return ViewerApp(width=320, height=200, session_root=tmp_path / "sess", **kw)
+
+
+class TestViewerEvents:
+    def test_add_select_render(self, tmp_path):
+        app = make_app(tmp_path)
+        st = app.handle({"type": "add", "kind": "cuboid"})
+        assert [o["name"] for o in st["objects"]] == ["cuboid"]
+        png = app.frame_png()
+        assert png.startswith(b"\x89PNG") and len(png) > 1000
+        # Click dead-center: the cuboid fills the framed view.
+        st = app.handle({"type": "click", "x": 160, "y": 100})
+        assert st["selected"] >= 0 and st["selected_name"] == "cuboid"
+
+    def test_orbit_changes_frame(self, tmp_path):
+        app = make_app(tmp_path)
+        app.handle({"type": "add", "kind": "torus"})
+        f1 = app.frame_png()
+        app.handle({"type": "orbit", "dx": 60, "dy": 15})
+        f2 = app.frame_png()
+        assert f1 != f2
+
+    def test_gizmo_translate_emits_actions(self, tmp_path):
+        app = make_app(tmp_path)
+        app.handle({"type": "add", "kind": "cuboid"})
+        app.handle({"type": "click", "x": 160, "y": 100})
+        ent = app.selected
+        app.handle({"type": "mode", "mode": "translate"})
+        t0 = np.asarray(app.registry.get(ent, Transform).translation).copy()
+        # Grab near the x-axis tip by scanning a few pixels until a handle sticks.
+        from mesheditor_tpu.render.gizmo import pick_handle
+
+        cam = app.camera()
+        center = app._gizmo_center()
+        hit = None
+        for x in range(0, 320, 4):
+            for y in range(0, 200, 4):
+                h = pick_handle(cam, 320, 200, x, y, center, mode="translate",
+                                size=app.radius * 0.18)
+                if h is not None and not h.plane:
+                    hit = (x, y)
+                    break
+            if hit:
+                break
+        assert hit is not None, "no gizmo handle hit-testable on screen"
+        app.handle({"type": "drag_start", "x": hit[0], "y": hit[1]})
+        assert app.drag is not None
+        app.handle({"type": "drag_move", "x": hit[0] + 25, "y": hit[1]})
+        app.handle({"type": "drag_end"})
+        t1 = np.asarray(app.registry.get(ent, Transform).translation)
+        assert not np.allclose(t0, t1), "drag must move the object"
+
+    def test_delete_and_replay_exact(self, tmp_path):
+        app = make_app(tmp_path)
+        app.handle({"type": "add", "kind": "icosphere"})
+        app.handle({"type": "add", "kind": "cone"})
+        app.handle({"type": "click_entity", "entity": app.state()["objects"][0]["entity"]})
+        app.handle({"type": "delete"})
+        st = app.state()
+        assert len(st["objects"]) == 1
+        v = app.verify()
+        assert v["byte_exact"], f"viewer session must replay byte-exact: {v}"
+
+    def test_strike_records_action(self, tmp_path):
+        app = make_app(tmp_path)
+        app.handle({"type": "add", "kind": "cuboid"})
+        app.handle({"type": "mode", "mode": "strike"})
+        st = app.handle({"type": "click", "x": 160, "y": 100})
+        app.session.log.drain()
+        log_text = (app.session.dir / "actions.log").read_text()
+        assert "StrikeVertex" in log_text
+        assert app.verify()["byte_exact"]
+
+
+class TestPngEncoder:
+    def test_roundtrip_via_png_signature(self):
+        img = (np.random.default_rng(0).uniform(0, 255, (8, 6, 3))).astype(np.uint8)
+        png = _encode_png(img)
+        assert png.startswith(b"\x89PNG") and b"IEND" in png
