@@ -297,3 +297,77 @@ class TestBoxStacking:
             p = w.bodies[h].pos
             assert abs(p[1] - (0.05 + 0.1 * k)) < 0.005, (k, p)
             assert np.linalg.norm(p[[0, 2]] - [0.002 * k, 0.0]) < 0.05, (k, p)
+
+
+class TestEdgeContacts:
+    """Edge-edge/edge-face crossings — the crossings the round-1 engine missed
+    (reference: Jolt narrowphase manifolds drive these, PhysicsSystem.cpp:255-346)."""
+
+    @staticmethod
+    def _diamond_quat(axis):
+        # 45-degree rotation about `axis` (0=x, 2=z): the box cross-section becomes a
+        # diamond, so contact happens on an EDGE, never a face or corner.
+        h = np.cos(np.pi / 8), np.sin(np.pi / 8)
+        q = [h[0], 0.0, 0.0, 0.0]
+        q[1 + axis] = h[1]
+        return tuple(q)
+
+    def test_box_box_edge_contact_detected(self):
+        # Two diamond rods crossing like an X: rod A along x, rod B along z, touching
+        # edge-on-edge at the origin. No corner of either box is inside the other.
+        w = PhysicsWorld()
+        diag = 0.05 * np.sqrt(2.0)
+        a = w.add_body(ShapeBox((0.5, 0.05, 0.05)), position=(0, 0, 0),
+                       quat=self._diamond_quat(0))
+        b = w.add_body(ShapeBox((0.05, 0.05, 0.5)), position=(0, -2 * diag + 0.004, 0),
+                       quat=self._diamond_quat(2))
+        contacts = w._pair_contacts(w.bodies[a], w.bodies[b])
+        assert contacts, "edge-edge crossing produced no contact"
+        _, _, point, normal, depth = contacts[0]
+        assert abs(normal[1]) > 0.9, normal  # separation is vertical
+        assert 0 < depth < 0.02
+        assert np.linalg.norm(point[[0, 2]]) < 0.02  # at the crossing
+
+    def test_rod_across_rail_rests_and_sustains(self):
+        # A diamond rod dropped across a static diamond rail must come to rest ON the
+        # rail (round 1: no contact -> it fell through) with a sustained contact.
+        w = PhysicsWorld()
+        diag = 0.05 * np.sqrt(2.0)
+        w.add_body(ShapeBox((0.05, 0.05, 0.5)), position=(0, 0, 0),
+                   quat=self._diamond_quat(2), static=True)
+        rod = w.add_body(ShapeBox((0.5, 0.05, 0.05)),
+                         position=(0, 2 * diag + 0.01, 0),
+                         quat=self._diamond_quat(0),
+                         motion=PhysicsMotion(mass=1.0), report_contacts=True)
+        for _ in range(720):
+            w.step()
+        p = w.bodies[rod].pos
+        assert p[1] > 1.5 * diag, f"rod fell through the rail: y={p[1]:.4f}"
+        assert w.sustained, "resting rod reports no sustained contact"
+
+    def test_mesh_rod_across_mesh_rail_via_edge_midpoints(self):
+        # Mesh-vs-mesh where NO vertex of either mesh is inside the other: a box-mesh
+        # rod (vertices only at its ends) across a diamond-prism rail (vertices only
+        # at ITS ends). Only edge-midpoint probes can find this contact.
+        from mesheditor_tpu.mesh import cuboid_surface
+        from mesheditor_tpu.physics.types import ShapeMesh
+
+        w = PhysicsWorld()
+        wdt, length = 0.1, 0.6
+        rail = np.array([[0, wdt, z] for z in (-length, length)]
+                        + [[wdt, 0, z] for z in (-length, length)]
+                        + [[0, -wdt, z] for z in (-length, length)]
+                        + [[-wdt, 0, z] for z in (-length, length)])
+        from mesheditor_tpu.physics.world import _hull_mesh
+
+        rpts, rtris = _hull_mesh(rail)
+        w.add_body(ShapeMesh(positions=rpts, triangles=rtris))  # static scenery
+        cpts, ctris = cuboid_surface((0.5, 0.04, 0.04))
+        rod = w.add_body(ShapeMesh(positions=cpts, triangles=ctris),
+                         position=(0, wdt + 0.04 + 0.005, 0),
+                         motion=PhysicsMotion(mass=0.5), report_contacts=True)
+        for _ in range(720):
+            w.step()
+        p = w.bodies[rod].pos
+        assert p[1] > 0.8 * wdt, f"mesh rod fell through the rail: y={p[1]:.4f}"
+        assert w.sustained, "resting mesh rod reports no sustained contact"
