@@ -209,15 +209,14 @@ def export_gltf(r: Registry, path) -> None:
                 }
                 if np.any(np.asarray(vm.emissive) != 0):
                     entry["emissiveFactor"] = [float(v) for v in vm.emissive]
-                tex = np.asarray(getattr(vm, "texture", np.zeros((0, 0, 4), np.uint8)))
-                if tex.size:
-                    # Embed the baseColorTexture as a PNG bufferView image.
+                def _embed_texture(pixels) -> dict:
+                    # Embed a texture as a PNG bufferView image; returns textureInfo.
                     import io as _io
 
                     from PIL import Image
 
                     png = _io.BytesIO()
-                    Image.fromarray(tex.astype(np.uint8)).save(png, format="PNG")
+                    Image.fromarray(np.asarray(pixels, np.uint8)).save(png, format="PNG")
                     data = png.getvalue()
                     off = len(buffers)
                     buffers.extend(data)
@@ -230,8 +229,42 @@ def export_gltf(r: Registry, path) -> None:
                     gltf.setdefault("samplers", [{"wrapS": 10497, "wrapT": 10497}])
                     gltf.setdefault("textures", []).append(
                         {"source": len(gltf["images"]) - 1, "sampler": 0})
-                    entry["pbrMetallicRoughness"]["baseColorTexture"] = {
-                        "index": len(gltf["textures"]) - 1}
+                    info = {"index": len(gltf["textures"]) - 1}
+                    tr = np.asarray(getattr(vm, "uv_transform", (0, 0, 0, 1, 1)),
+                                    np.float64).reshape(-1)
+                    if tr.size == 5 and not np.allclose(tr, (0, 0, 0, 1, 1)):
+                        info["extensions"] = {"KHR_texture_transform": {
+                            "offset": [float(tr[0]), float(tr[1])],
+                            "rotation": float(tr[2]),
+                            "scale": [float(tr[3]), float(tr[4])],
+                        }}
+                        if "KHR_texture_transform" not in gltf.setdefault(
+                                "extensionsUsed", []):
+                            gltf["extensionsUsed"].append("KHR_texture_transform")
+                    return info
+
+                tex = np.asarray(getattr(vm, "texture", np.zeros((0, 0, 4), np.uint8)))
+                if tex.size:
+                    entry["pbrMetallicRoughness"]["baseColorTexture"] = \
+                        _embed_texture(tex)
+                mr = np.asarray(getattr(vm, "mr_texture", np.zeros((0, 0, 4), np.uint8)))
+                if mr.size:
+                    entry["pbrMetallicRoughness"]["metallicRoughnessTexture"] = \
+                        _embed_texture(mr)
+                em = np.asarray(getattr(vm, "emissive_texture",
+                                        np.zeros((0, 0, 4), np.uint8)))
+                if em.size:
+                    # emissiveFactor multiplies the texture (glTF spec); authors set
+                    # emissive=(1,1,1) for unscaled texture emission.
+                    entry["emissiveTexture"] = _embed_texture(em)
+                nm = np.asarray(getattr(vm, "normal_texture",
+                                        np.zeros((0, 0, 4), np.uint8)))
+                if nm.size:
+                    entry["normalTexture"] = _embed_texture(nm)
+                oc = np.asarray(getattr(vm, "occlusion_texture",
+                                        np.zeros((0, 0, 4), np.uint8)))
+                if oc.size:
+                    entry["occlusionTexture"] = _embed_texture(oc)
                 if mat is not None:
                     entry["name"] = mat.name
                 gltf["materials"].append(entry)
@@ -471,8 +504,52 @@ def _read_image(gltf, buffers, path: Path, image_index: int) -> np.ndarray:
             data = base64.b64decode(uri.split(",", 1)[1])
         else:
             data = (path.parent / uri).read_bytes()
+    if data[:12] == _KTX2_MAGIC:
+        return _decode_ktx2(data)
     with Image.open(_io.BytesIO(data)) as im:
         return np.asarray(im.convert("RGBA"), np.uint8)
+
+
+_KTX2_MAGIC = b"\xabKTX 20\xbb\r\n\x1a\n"
+
+# VkFormat values this decoder maps straight to channel layouts.
+_KTX2_FORMATS = {
+    37: 4, 43: 4,  # R8G8B8A8_UNORM / _SRGB
+    23: 3, 29: 3,  # R8G8B8_UNORM / _SRGB
+}
+
+
+def _decode_ktx2(data: bytes) -> np.ndarray:
+    """KTX2 container decode for uncompressed R8G8B8(A8) payloads, with optional
+    zstd supercompression (KHR_texture_basisu carrier; the reference transcodes
+    basisu ETC1S/UASTC via the basisu library, src/render/Textures.cpp — GPU-block
+    transcode targets don't apply to a CPU rasterizer, so compressed-basis payloads
+    are a documented exception here)."""
+    import struct
+
+    (vk_format, type_size, w, h, depth, layers, faces, levels, scheme) = struct.unpack(
+        "<IIIIIIIII", data[12:48])
+    if vk_format not in _KTX2_FORMATS:
+        raise ValueError(f"KTX2 vkFormat {vk_format} unsupported "
+                         "(only uncompressed RGB8/RGBA8; basisu needs a transcoder)")
+    # Level index: levels * 3 u64 entries at offset 80.
+    off, length, uncomp = struct.unpack("<QQQ", data[80:104])  # level 0
+    payload = data[off:off + length]
+    if scheme == 2:  # zstd supercompression
+        import zstandard
+
+        payload = zstandard.ZstdDecompressor().decompress(payload, max_output_size=uncomp)
+    elif scheme == 3:  # zlib
+        import zlib
+
+        payload = zlib.decompress(payload)
+    elif scheme != 0:
+        raise ValueError(f"KTX2 supercompression scheme {scheme} unsupported")
+    ch = _KTX2_FORMATS[vk_format]
+    arr = np.frombuffer(payload, np.uint8)[: w * h * ch].reshape(h, w, ch)
+    if ch == 3:
+        arr = np.concatenate([arr, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    return arr.copy()
 
 
 def _read_buffer(gltf, path: Path, blob: bytes | None) -> list[bytes]:
@@ -488,16 +565,61 @@ def _read_buffer(gltf, path: Path, blob: bytes | None) -> list[bytes]:
     return out
 
 
-def _read_accessor(gltf, buffers, idx):
-    acc = gltf["accessors"][idx]
-    view = gltf["bufferViews"][acc["bufferView"]]
+_COMP_DTYPES = {5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
+                5125: np.uint32, 5126: np.float32}
+_TYPE_WIDTH = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+               "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+
+def _read_view_elements(gltf, buffers, view_idx, byte_offset, comp, width, count):
+    """Elements from a bufferView honoring byteStride (interleaved vertex buffers —
+    common in third-party exporters, never produced by this one)."""
+    view = gltf["bufferViews"][view_idx]
     data = buffers[view.get("buffer", 0)]
-    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    comp = {_COMP_F32: np.float32, _COMP_U32: np.uint32, _COMP_U16: np.uint16}[acc["componentType"]]
-    width = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}[acc["type"]]
-    count = acc["count"] * width
-    arr = np.frombuffer(data, dtype=comp, count=count, offset=start)
-    return arr.reshape(acc["count"], width) if width > 1 else arr
+    start = view.get("byteOffset", 0) + byte_offset
+    itemsize = np.dtype(comp).itemsize
+    natural = itemsize * width
+    stride = view.get("byteStride", 0) or natural
+    if stride == natural:
+        arr = np.frombuffer(data, dtype=comp, count=count * width, offset=start)
+        return arr.reshape(count, width)
+    end = start + stride * (count - 1) + natural
+    raw = np.frombuffer(data, np.uint8, count=end - start, offset=start)
+    gather = np.arange(count)[:, None] * stride + np.arange(natural)[None, :]
+    return raw[gather].copy().view(comp).reshape(count, width)
+
+
+def _read_accessor(gltf, buffers, idx):
+    """Accessor decode covering the ingestion surface third-party files use:
+    all component types, interleaved byteStride views, `normalized` integer
+    attributes, sparse accessors, and bufferView-less (zero-initialized) accessors
+    (glTF 2.0 spec 3.6.2; the reference ingests these via fastgltf)."""
+    acc = gltf["accessors"][idx]
+    comp = _COMP_DTYPES[acc["componentType"]]
+    width = _TYPE_WIDTH[acc["type"]]
+    count = acc["count"]
+    if "bufferView" in acc:
+        arr = _read_view_elements(gltf, buffers, acc["bufferView"],
+                                  acc.get("byteOffset", 0), comp, width, count).copy()
+    else:
+        arr = np.zeros((count, width), comp)
+    sp = acc.get("sparse")
+    if sp:
+        si = sp["indices"]
+        icomp = _COMP_DTYPES[si["componentType"]]
+        rows = _read_view_elements(gltf, buffers, si["bufferView"],
+                                   si.get("byteOffset", 0), icomp, 1,
+                                   sp["count"]).reshape(-1).astype(np.int64)
+        sv = sp["values"]
+        vals = _read_view_elements(gltf, buffers, sv["bufferView"],
+                                   sv.get("byteOffset", 0), comp, width, sp["count"])
+        arr[rows] = vals
+    if acc.get("normalized") and comp != np.float32:
+        info = np.iinfo(comp)
+        arr = arr.astype(np.float32) / float(info.max)
+        if info.min < 0:
+            arr = np.maximum(arr, -1.0)
+    return arr if width > 1 else arr.reshape(-1)
 
 
 def _import_audio_ext(gltf, buffers):
@@ -656,15 +778,38 @@ def import_gltf(path, store_dir=None) -> Registry:
             if "material" in prim:
                 m = gltf.get("materials", [])[prim["material"]]
                 pbr = m.get("pbrMetallicRoughness", {})
-                texture = np.zeros((0, 0, 4), np.uint8)
-                bct = pbr.get("baseColorTexture")
-                if bct is not None and "index" in bct:
+                uv_transform = np.array([0.0, 0.0, 0.0, 1.0, 1.0])
+
+                def _load_tex(info, kind):
+                    nonlocal uv_transform
+                    if info is None or "index" not in info:
+                        return np.zeros((0, 0, 4), np.uint8)
+                    tt = (info.get("extensions") or {}).get("KHR_texture_transform")
+                    if tt:
+                        off = tt.get("offset", [0.0, 0.0])
+                        sc = tt.get("scale", [1.0, 1.0])
+                        uv_transform = np.array([off[0], off[1],
+                                                 tt.get("rotation", 0.0), sc[0], sc[1]])
                     try:
-                        src = gltf.get("textures", [])[bct["index"]].get("source")
+                        tex_entry = gltf.get("textures", [])[info["index"]]
+                        src = tex_entry.get("source")
+                        if src is None:  # KHR_texture_basisu carries KTX2 sources
+                            src = ((tex_entry.get("extensions") or {})
+                                   .get("KHR_texture_basisu") or {}).get("source")
                         if src is not None:
-                            texture = _read_image(gltf, buffers, path, src)
+                            return _read_image(gltf, buffers, path, src)
                     except Exception as exc:  # undecodable payloads degrade gracefully
-                        print(f"Warning: baseColorTexture decode failed: {exc}")
+                        print(f"Warning: {kind} decode failed: {exc}")
+                    return np.zeros((0, 0, 4), np.uint8)
+
+                texture = _load_tex(pbr.get("baseColorTexture"), "baseColorTexture")
+                mr_texture = _load_tex(pbr.get("metallicRoughnessTexture"),
+                                       "metallicRoughnessTexture")
+                emissive_texture = _load_tex(m.get("emissiveTexture"),
+                                             "emissiveTexture")
+                normal_texture = _load_tex(m.get("normalTexture"), "normalTexture")
+                occlusion_texture = _load_tex(m.get("occlusionTexture"),
+                                              "occlusionTexture")
                 r.emplace(e, VisualMaterial(
                     base_color=np.asarray(
                         pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0]), np.float64),
@@ -674,6 +819,11 @@ def import_gltf(path, store_dir=None) -> Registry:
                                         np.float64),
                     double_sided=bool(m.get("doubleSided", False)),
                     texture=texture,
+                    mr_texture=mr_texture,
+                    emissive_texture=emissive_texture,
+                    normal_texture=normal_texture,
+                    occlusion_texture=occlusion_texture,
+                    uv_transform=uv_transform,
                 ))
         extras = node.get("extras", {})
         ac = extras.get("MESHEDITOR_TPU_acoustic")

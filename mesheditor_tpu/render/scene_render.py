@@ -17,7 +17,9 @@ import numpy as np
 from .camera import Camera, frame_points, view_projection
 from .picking import box_select, pick_element, pick_object
 from .raster import GBuffer, project_points, rasterize
-from .shading import LightBank, MaterialTable, build_atlas, shade, vertex_normals
+from .shading import (
+    LightBank, MaterialTable, build_atlas, shade, vertex_normals, vertex_tangents,
+)
 
 
 @dataclass
@@ -46,7 +48,12 @@ class SceneBatch:
     materials: MaterialTable
     lights: LightBank
     uvs: np.ndarray = None     # (N, 2) TEXCOORD_0 (zeros where untextured)
-    atlas: object = None       # TextureAtlas | None
+    atlas: object = None       # TextureAtlas | None (baseColor, sRGB)
+    mr_atlas: object = None        # metallicRoughness (linear ORM)
+    emissive_atlas: object = None  # emissive (sRGB)
+    normal_atlas: object = None    # tangent-space normals (linear)
+    occlusion_atlas: object = None  # occlusion R (linear)
+    tangents: np.ndarray = None    # (N, 3) world tangents when normal-mapped
 
 
 def _light_world_dir(r, e) -> np.ndarray:
@@ -68,8 +75,9 @@ def flatten_scene(r) -> SceneBatch:
     from .shading import LIGHT_DIRECTIONAL, LIGHT_POINT, LIGHT_SPOT
 
     pos_parts, nrm_parts, tri_parts, obj_parts, entities = [], [], [], [], []
-    base_colors, metallics, roughnesses, emissives = [], [], [], []
-    uv_parts, textures = [], []
+    base_colors, metallics, roughnesses, emissives, uv_transforms = [], [], [], [], []
+    uv_parts, tan_parts = [], []
+    textures, mr_texs, em_texs, nrm_texs, occ_texs = [], [], [], [], []
     offset = 0
     from ..scene.armature import DeformedSurface
 
@@ -109,8 +117,27 @@ def flatten_scene(r) -> SceneBatch:
         metallics.append(float(mat.metallic))
         roughnesses.append(float(mat.roughness))
         emissives.append(np.asarray(mat.emissive, np.float32).reshape(3))
-        tex = getattr(mat, "texture", None)
-        textures.append(np.asarray(tex) if tex is not None and np.asarray(tex).size else None)
+        tr = np.asarray(getattr(mat, "uv_transform", (0, 0, 0, 1, 1)), np.float32)
+        uv_transforms.append(tr.reshape(5) if tr.size == 5 else
+                             np.array([0, 0, 0, 1, 1], np.float32))
+
+        def _tex(name):
+            t = getattr(mat, name, None)
+            t = np.asarray(t) if t is not None else None
+            return t if t is not None and t.size else None
+
+        textures.append(_tex("texture"))
+        mr_texs.append(_tex("mr_texture"))
+        em_texs.append(_tex("emissive_texture"))
+        nrm_texs.append(_tex("normal_texture"))
+        occ_texs.append(_tex("occlusion_texture"))
+        if nrm_texs[-1] is not None and uv_parts[-1].any():
+            tan_local = vertex_tangents(p, t, uv_parts[-1])
+            tw = tan_local @ m[:3, :3].T
+            tn = np.linalg.norm(tw, axis=1, keepdims=True)
+            tan_parts.append(np.divide(tw, tn, out=np.zeros_like(tw), where=tn > 1e-20))
+        else:
+            tan_parts.append(np.zeros((p.shape[0], 3), np.float32))
 
     kinds, lpos, ldir, lcol, cones = [], [], [], [], []
     kind_map = {"directional": LIGHT_DIRECTIONAL, "point": LIGHT_POINT, "spot": LIGHT_SPOT}
@@ -134,11 +161,20 @@ def flatten_scene(r) -> SceneBatch:
         tri_obj = np.concatenate(obj_parts)
         uvs = np.concatenate(uv_parts).astype(np.float32)
         atlas = build_atlas(textures)
+        mr_atlas = build_atlas(mr_texs, srgb=False)
+        emissive_atlas = build_atlas(em_texs)
+        normal_atlas = build_atlas(nrm_texs, srgb=False)
+        occlusion_atlas = build_atlas(occ_texs, srgb=False)
+        tangents = (np.concatenate(tan_parts).astype(np.float32)
+                    if normal_atlas is not None else None)
+        tr_rows = np.stack(uv_transforms)
+        identity_tr = np.allclose(tr_rows, np.array([0, 0, 0, 1, 1], np.float32))
         materials = MaterialTable(
             base_color=jnp.asarray(np.stack(base_colors)),
             metallic=jnp.asarray(np.asarray(metallics, np.float32)),
             roughness=jnp.asarray(np.asarray(roughnesses, np.float32)),
             emissive=jnp.asarray(np.stack(emissives)),
+            uv_transform=None if identity_tr else jnp.asarray(tr_rows),
         )
     else:
         positions = np.zeros((0, 3), np.float32)
@@ -146,12 +182,15 @@ def flatten_scene(r) -> SceneBatch:
         triangles = np.zeros((0, 3), np.int32)
         tri_obj = np.zeros(0, np.int32)
         uvs = np.zeros((0, 2), np.float32)
-        atlas = None
+        atlas = mr_atlas = emissive_atlas = normal_atlas = occlusion_atlas = None
+        tangents = None
         materials = MaterialTable.default(1)
     lights = (LightBank.from_lists(kinds, lpos, ldir, lcol, cones) if kinds
               else LightBank.default())
     return SceneBatch(positions, normals, triangles, tri_obj, entities, materials,
-                      lights, uvs=uvs, atlas=atlas)
+                      lights, uvs=uvs, atlas=atlas, mr_atlas=mr_atlas,
+                      emissive_atlas=emissive_atlas, normal_atlas=normal_atlas,
+                      occlusion_atlas=occlusion_atlas, tangents=tangents)
 
 
 class SceneRenderer:
@@ -192,6 +231,11 @@ class SceneRenderer:
                 wire_only=s.mode == "wireframe_only",
                 uvs=self.batch.uvs, atlas=self.batch.atlas,
                 sky=s.sky, ground=s.ground,
+                mr_atlas=self.batch.mr_atlas,
+                emissive_atlas=self.batch.emissive_atlas,
+                normal_atlas=self.batch.normal_atlas,
+                occlusion_atlas=self.batch.occlusion_atlas,
+                tangents=self.batch.tangents,
             )
             img = np.asarray(img)
         ss = max(int(s.supersample), 1)

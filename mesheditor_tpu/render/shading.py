@@ -28,6 +28,9 @@ class MaterialTable(NamedTuple):
     metallic: jax.Array    # (O,)
     roughness: jax.Array   # (O,)
     emissive: jax.Array    # (O, 3)
+    # KHR_texture_transform rows [off_u, off_v, rot, scale_u, scale_v]; identity rows
+    # leave UVs untouched, so untransformed materials cost nothing extra.
+    uv_transform: jax.Array = None  # (O, 5) or None
 
     @staticmethod
     def default(n: int, base_color=(0.48, 0.65, 0.76, 1.0), metallic=0.2, roughness=0.7):
@@ -53,9 +56,10 @@ def srgb_to_linear(c: np.ndarray) -> np.ndarray:
     return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
 
 
-def build_atlas(textures: list) -> TextureAtlas | None:
-    """Pack per-object (h, w, 4) uint8 sRGB textures (or None/empty) vertically into
-    one linear-color atlas. Returns None when nothing is textured."""
+def build_atlas(textures: list, srgb: bool = True) -> TextureAtlas | None:
+    """Pack per-object (h, w, 4) uint8 textures (or None/empty) vertically into one
+    atlas. `srgb` decodes color textures to linear; normal/ORM/occlusion data stays
+    raw [0, 1]. Returns None when nothing is textured."""
     sizes = [(t.shape[0], t.shape[1]) for t in textures
              if t is not None and t.size > 0]
     if not sizes:
@@ -69,7 +73,8 @@ def build_atlas(textures: list) -> TextureAtlas | None:
         if t is None or t.size == 0:
             continue
         h, w = t.shape[0], t.shape[1]
-        atlas[y:y + h, :w] = srgb_to_linear(np.asarray(t[..., :3], np.float32) / 255.0)
+        raw = np.asarray(t[..., :3], np.float32) / 255.0
+        atlas[y:y + h, :w] = srgb_to_linear(raw) if srgb else raw
         rect[i] = (y, h, w, 1.0)
         y += h
     return TextureAtlas(jnp.asarray(atlas), jnp.asarray(rect))
@@ -169,7 +174,8 @@ def _sample_atlas(atlas, rect, obj, uv):
 
 @partial(jax.jit, static_argnums=(8, 9, 10))
 def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extras,
-                flat, wireframe, wire_only, uvs=None, tex=None):
+                flat, wireframe, wire_only, uvs=None, tex=None, mr_tex=None,
+                em_tex=None, nrm_tex=None, occ_tex=None, tangents=None):
     depth, tri, bary = gbuf
     eye, ambient, background, wire_color, wire_eps = extras[:5]
     valid = tri >= 0
@@ -188,14 +194,48 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
     n = jnp.where(jnp.sum(n * view, -1, keepdims=True) < 0, -n, n)
 
     obj = tri_obj[t]
-    albedo = materials.base_color[obj][..., :3]
-    if tex is not None and uvs is not None:
+    uv = None
+    if uvs is not None:
         uv = jnp.einsum("hwk,hwkc->hwc", bary, uvs[vid])
+        if materials.uv_transform is not None:
+            # KHR_texture_transform: UV' = Translate * Rotate * Scale * UV.
+            tr = materials.uv_transform[obj]  # (H, W, 5)
+            su, sv = uv[..., 0] * tr[..., 3], uv[..., 1] * tr[..., 4]
+            cr, sr = jnp.cos(tr[..., 2]), jnp.sin(tr[..., 2])
+            uv = jnp.stack([cr * su + sr * sv + tr[..., 0],
+                            -sr * su + cr * sv + tr[..., 1]], -1)
+
+    # Tangent-space normal mapping (glTF normalTexture, +Z out): interpolated
+    # tangent Gram-Schmidt-orthogonalized against the shading normal.
+    if nrm_tex is not None and uv is not None and tangents is not None:
+        ts, ts_flag = _sample_atlas(nrm_tex.atlas, nrm_tex.rect, obj, uv)
+        tan = jnp.einsum("hwk,hwkc->hwc", bary, tangents[vid])
+        tan = _normalize(tan - n * jnp.sum(tan * n, -1, keepdims=True))
+        bit = jnp.cross(n, tan)
+        nm = ts * 2.0 - 1.0
+        n_mapped = _normalize(nm[..., 0:1] * tan + nm[..., 1:2] * bit
+                              + nm[..., 2:3] * n)
+        n = jnp.where(ts_flag[..., None] > 0, n_mapped, n)
+
+    albedo = materials.base_color[obj][..., :3]
+    if tex is not None and uv is not None:
         tex_c, tex_flag = _sample_atlas(tex.atlas, tex.rect, obj, uv)
         albedo = albedo * jnp.where(tex_flag[..., None] > 0, tex_c, 1.0)
     metallic = materials.metallic[obj]
     roughness = materials.roughness[obj]
     emissive = materials.emissive[obj]
+    if mr_tex is not None and uv is not None:
+        # glTF ORM channels: G = roughness, B = metallic; factors multiply.
+        mr_c, mr_flag = _sample_atlas(mr_tex.atlas, mr_tex.rect, obj, uv)
+        roughness = roughness * jnp.where(mr_flag > 0, mr_c[..., 1], 1.0)
+        metallic = metallic * jnp.where(mr_flag > 0, mr_c[..., 2], 1.0)
+    if em_tex is not None and uv is not None:
+        em_c, em_flag = _sample_atlas(em_tex.atlas, em_tex.rect, obj, uv)
+        emissive = emissive * jnp.where(em_flag[..., None] > 0, em_c, 1.0)
+    occlusion = 1.0
+    if occ_tex is not None and uv is not None:
+        oc_c, oc_flag = _sample_atlas(occ_tex.atlas, occ_tex.rect, obj, uv)
+        occlusion = jnp.where(oc_flag > 0, oc_c[..., 0], 1.0)[..., None]
 
     # Hemisphere environment term (the IBL-lite analog of the reference's prefiltered
     # environment lighting, src/render/IblPrefilterPipelines.h): sky/ground colors
@@ -222,7 +262,8 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
         contrib = _ggx_brdf(n, view, l, albedo, metallic, roughness)
         return color + contrib * (lcol[None, None, :] * atten[..., None]), None
 
-    color = emissive + (ambient[None, None, :] + hemi) * albedo
+    # Occlusion (glTF occlusionTexture R) darkens only the indirect terms.
+    color = emissive + (ambient[None, None, :] + hemi) * albedo * occlusion
     color, _ = jax.lax.scan(add_light, color, jnp.arange(lights.kind.shape[0]))
 
     # Reinhard tone map + gamma 2.2 (deterministic, no exposure adaptation).
@@ -246,11 +287,18 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
           background=(0.125, 0.133, 0.153), flat=False, wireframe=False,
           wire_only=False, wire_color=(0.9, 0.65, 0.1), wire_eps=0.02,
           uvs=None, atlas: TextureAtlas | None = None,
-          sky=(0.0, 0.0, 0.0), ground=(0.0, 0.0, 0.0)):
+          sky=(0.0, 0.0, 0.0), ground=(0.0, 0.0, 0.0),
+          mr_atlas: TextureAtlas | None = None,
+          emissive_atlas: TextureAtlas | None = None,
+          normal_atlas: TextureAtlas | None = None,
+          occlusion_atlas: TextureAtlas | None = None,
+          tangents=None):
     """Light the G-buffer. positions/normals are world-space per-vertex arrays;
     tri_obj maps each triangle to its object row in `materials`. With `uvs` (N, 2)
-    and a TextureAtlas, base color is modulated by the sampled texture. Nonzero
-    sky/ground add a hemisphere environment term on top of the flat ambient."""
+    and TextureAtlases, the full glTF texture set modulates the factors: baseColor
+    (sRGB), metallicRoughness (linear ORM G/B), emissive (sRGB), occlusion (linear R,
+    indirect light only) and tangent-space normals (`tangents` (N, 3) required).
+    Nonzero sky/ground add a hemisphere environment term on top of the flat ambient."""
     tris = jnp.asarray(np.asarray(tris, np.int32).reshape(-1, 3))
     extras = (
         jnp.asarray(eye, jnp.float32),
@@ -262,14 +310,49 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
         jnp.asarray(ground, jnp.float32),
     )
     uv_arr = None
-    if atlas is not None and uvs is not None:
+    any_tex = any(a is not None for a in (atlas, mr_atlas, emissive_atlas,
+                                          normal_atlas, occlusion_atlas))
+    if any_tex and uvs is not None:
         uv_arr = jnp.asarray(np.asarray(uvs, np.float32).reshape(-1, 2))
+    tan_arr = None
+    if tangents is not None and normal_atlas is not None:
+        tan_arr = jnp.asarray(np.asarray(tangents, np.float32).reshape(-1, 3))
+    off = uv_arr is None
     return _shade_impl(
         gbuf, jnp.asarray(positions, jnp.float32), jnp.asarray(normals, jnp.float32),
         tris, jnp.asarray(np.asarray(tri_obj, np.int32)), materials, lights, extras,
         bool(flat), bool(wireframe), bool(wire_only),
-        uvs=uv_arr, tex=atlas if uv_arr is not None else None,
+        uvs=uv_arr, tex=None if off else atlas,
+        mr_tex=None if off else mr_atlas,
+        em_tex=None if off else emissive_atlas,
+        nrm_tex=None if off or tan_arr is None else normal_atlas,
+        occ_tex=None if off else occlusion_atlas,
+        tangents=tan_arr,
     )
+
+
+def vertex_tangents(positions, tris, uvs) -> np.ndarray:
+    """Per-vertex tangents from UV-space triangle derivatives (host-side): the
+    standard accumulate-and-normalize used to light glTF normalTexture payloads.
+    Degenerate-UV triangles contribute nothing; zero rows fall back to +X."""
+    positions = np.asarray(positions, np.float64)
+    uvs = np.asarray(uvs, np.float64)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    e1 = positions[tris[:, 1]] - positions[tris[:, 0]]
+    e2 = positions[tris[:, 2]] - positions[tris[:, 0]]
+    d1 = uvs[tris[:, 1]] - uvs[tris[:, 0]]
+    d2 = uvs[tris[:, 2]] - uvs[tris[:, 0]]
+    det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
+    ok = np.abs(det) > 1e-20
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    tan = (e1 * d2[:, 1:2] - e2 * d1[:, 1:2]) * inv[:, None]
+    out = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(out, tris[:, k], tan)
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    out = np.divide(out, norm, out=np.zeros_like(out), where=norm > 1e-20)
+    out[np.all(out == 0, axis=1)] = (1.0, 0.0, 0.0)
+    return out.astype(np.float32)
 
 
 def vertex_normals(positions, tris) -> np.ndarray:

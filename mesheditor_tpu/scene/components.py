@@ -152,6 +152,18 @@ class VisualMaterial:
     double_sided: bool = True
     # baseColorTexture payload: (h, w, 4) uint8 sRGB; empty = untextured.
     texture: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 4), np.uint8))
+    # metallicRoughnessTexture: (h, w, 4) uint8 LINEAR; G = roughness, B = metallic
+    # (the glTF ORM channel layout). Factors multiply the sampled values.
+    mr_texture: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 4), np.uint8))
+    # emissiveTexture: (h, w, 4) uint8 sRGB, multiplied by `emissive`.
+    emissive_texture: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 4), np.uint8))
+    # normalTexture: (h, w, 4) uint8 tangent-space, +Z out (OpenGL convention).
+    normal_texture: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 4), np.uint8))
+    # occlusionTexture R channel scales ambient/environment light.
+    occlusion_texture: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 4), np.uint8))
+    # KHR_texture_transform on TEXCOORD_0, applied to every texture of this material:
+    # [offset_u, offset_v, rotation_rad, scale_u, scale_v].
+    uv_transform: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0, 1.0]))
 
 
 @dataclass
