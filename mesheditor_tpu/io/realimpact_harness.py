@@ -24,7 +24,8 @@ SAMPLE_RATE = 48_000.0
 
 
 def spectral_peaks(audio: np.ndarray, sample_rate: float = SAMPLE_RATE,
-                   n_peaks: int = 12, fmin: float = 60.0) -> np.ndarray:
+                   n_peaks: int = 12, fmin: float = 60.0,
+                   fmax: float = 20_000.0) -> np.ndarray:
     """Prominent spectral peak frequencies (Hz), parabolic-interpolated, strongest
     first. Deterministic and windowed once over the whole clip — modal rings are
     stationary in frequency."""
@@ -34,9 +35,14 @@ def spectral_peaks(audio: np.ndarray, sample_rate: float = SAMPLE_RATE,
     spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
     freqs = np.fft.rfftfreq(x.size, 1.0 / sample_rate)
     lo = int(np.searchsorted(freqs, fmin))
+    hi = int(np.searchsorted(freqs, fmax))
     peaks = []
     mag = spec.copy()
     mag[:lo] = 0.0
+    # Cap at the solve band: peaks above max_mode_freq have no modal partner by
+    # construction (the band filter drops them; postprocess.py), and the recordings'
+    # noise floor otherwise reads back as spurious ultrasonic "partials".
+    mag[hi:] = 0.0
     # 28 dB relative floor: a mode 30 dB under the strongest partial is inaudible next
     # to it, while the decay envelope's low-frequency hump sits below this and would
     # otherwise read back as spurious "recorded" partials.
@@ -99,9 +105,10 @@ class ScanReport:
 
 
 def compare_impact(recorded: np.ndarray, rendered: np.ndarray, vertex: int,
-                   sample_rate: float = SAMPLE_RATE, n_peaks: int = 10) -> ImpactComparison:
-    rec = spectral_peaks(recorded, sample_rate, n_peaks)
-    ren = spectral_peaks(rendered, sample_rate, n_peaks)
+                   sample_rate: float = SAMPLE_RATE, n_peaks: int = 10,
+                   fmax: float = 20_000.0) -> ImpactComparison:
+    rec = spectral_peaks(recorded, sample_rate, n_peaks, fmax=fmax)
+    ren = spectral_peaks(rendered, sample_rate, n_peaks, fmax=fmax)
     matched = np.asarray([min((cents(r, q) for q in ren), default=np.inf) for r in rec])
     return ImpactComparison(vertex=vertex, recorded_peaks=rec, rendered_peaks=ren,
                             matched_cents=matched)
@@ -136,11 +143,18 @@ def compare_scan(directory, listener_point: int = 0, seconds: float = 0.5,
 
     for v in range(samples.shape[0]):
         expos = int(expos_of[v]) if v < expos_of.size else 0
+        # A hard tap: ~0.25 ms contact (the RealImpact rig's solenoid striker on stiff
+        # ceramic/metal is sub-millisecond) so the pulse spectrum stays broadband
+        # through the whole solve band — a 3 ms contact lowpasses away every mode
+        # above ~300 Hz and the comparison would only ever see the fundamental.
+        # Off-axis j excites all shape components, not just the normal's.
+        tau = 0.25e-3 * SAMPLE_RATE  # samples of contact
         synth.enqueue(ModalEvent(kind="impact", obj=0, expos=expos,
-                                 j=(0.0, 0.02, 0.0), pulse_step=1.0 / 150.0,
-                                 pulse_gamma=20.0, accel_amp=0.0))
+                                 j=(0.008, 0.02, 0.012), pulse_step=1.0 / tau,
+                                 pulse_gamma=np.pi / 2 / tau, accel_amp=0.0))
         rendered = np.asarray(synth.render_seconds(seconds))
         synth.enqueue(ModalEvent(kind="silence", obj=0))
         synth.render(256)  # consume the silence
-        report.impacts.append(compare_impact(samples[v, :n], rendered[:n], v))
+        fmax = float(getattr(settings, "max_mode_freq", 20_000.0))
+        report.impacts.append(compare_impact(samples[v, :n], rendered[:n], v, fmax=fmax))
     return report

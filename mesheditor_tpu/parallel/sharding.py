@@ -24,9 +24,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp")) -> Mesh:
-    """A 2-D device mesh. With a prime or small count the tp axis degenerates to 1."""
+    """A device mesh shaped to `axis_names`: 1-D puts every device on that axis; 2-D
+    factors n into dp x tp with the largest tp <= sqrt(n) (prime/small counts
+    degenerate tp to 1)."""
     devices = np.asarray(jax.devices()[: n_devices or len(jax.devices())])
     n = devices.size
+    if len(axis_names) == 1:
+        return Mesh(devices.reshape(n), axis_names)
     # Largest tp that divides n and is <= sqrt(n), so dp >= tp.
     tp = 1
     for cand in range(int(np.sqrt(n)), 0, -1):

@@ -92,16 +92,31 @@ def main():
     ap.add_argument("--blocks", type=int, default=64)
     args = ap.parse_args()
     cases = [
-        # (objects, modes, voices, impacts) — the reference's envelope shape
+        # (objects, modes, voices, impacts) — the FULL reference envelope
+        # (/root/reference/tests/ModalRenderBench.cpp:165-196), including the
+        # voice-heavy tail: 256 voices on one object (the coupled kernel's own
+        # scaling) and 256 objects x 1 voice (the shape a scene actually has).
         (1, 64, 0, 1),
         (1, 64, 1, 1),
+        (1, 64, 4, 0),
+        (1, 200, 0, 1),
         (1, 200, 0, 4),
+        (1, 200, 1, 1),
+        (1, 200, 4, 0),
         (1, 512, 0, 4),
-        (1, 64, 16, 0),
-        (16, 64, 0, 16),
-        (64, 256, 0, 64),
+        (1, 512, 1, 0),
+        (1, 512, 4, 0),
+        (1, 200, 16, 0),
+        (1, 200, 64, 0),
+        (1, 200, 256, 0),
+        (16, 200, 16, 0),
+        (64, 200, 64, 0),
+        (256, 200, 256, 0),
+        (64, 200, 0, 64),
+        (256, 200, 0, 256),
+        (256, 200, 16, 0),   # 256 objects, 16 ringing with voices
         (256, 64, 16, 64),
-        (1024, 64, 0, 16),
+        (1024, 64, 0, 16),   # 1024 objects, 16 ringing
     ]
     print(f"{'objects':>8} {'modes':>6} {'voices':>7} {'impacts':>8} {'us/block':>10} {'realtime x':>11}")
     for o, k, v, i in cases:
