@@ -8,9 +8,9 @@ z-merges into the carried G-buffer. Output is a deferred-shading G-buffer — de
 triangle id, perspective-correct barycentrics — the same buffers the reference's
 selection compute passes consume (src/selection/SelectionGpu.h:75-81).
 
-Near-plane handling: triangles with any vertex at w <= eps are rejected rather than
-clipped (a preview/picking renderer; the camera's near plane is kept in front of scene
-bounds by `camera.frame_points`).
+Near-plane handling: `clip_near` replaces plane-crossing triangles with their clipped
+fans on host (a handful per frame), so the jitted rasterizer stays static-shaped and
+never sees a w <= eps vertex; fully-behind triangles drop.
 """
 
 from __future__ import annotations
@@ -134,6 +134,61 @@ def rasterize(clip, tris, width: int, height: int, chunk: int = 8,
     # Padding triangles are zero-area and never shade; ids past the real count can't
     # appear, so tri is already a faithful pick buffer.
     return gbuf
+
+
+def clip_near(clip, tris, eps: float = 1e-4):
+    """Host-side near-plane clipping (Sutherland-Hodgman against w = eps in clip
+    space): triangles crossing the plane are replaced by their clipped fan; fully
+    behind ones drop. Keeps the DEVICE program static-shaped — crossers are a handful
+    per frame, so the host pass is cheap, and the rasterizer itself never branches.
+
+    Returns (tris_out, tri_src, new_verts) where `tri_src` maps every output triangle
+    to its source triangle id (picking stays in source-triangle space) and `new_verts`
+    is a (K, 3) array of (parent_a, parent_b, t) lerp recipes for the K vertices
+    appended past the original count — clip space is linear in world space, so the
+    same t interpolates world attributes."""
+    clip = np.asarray(clip, np.float64)
+    tris = np.asarray(tris, np.int64).reshape(-1, 3)
+    if tris.shape[0] == 0:
+        return tris.astype(np.int32), np.arange(0, dtype=np.int32), np.zeros((0, 3))
+    w = clip[:, 3]
+    inside = w[tris] > eps  # (T, 3)
+    n_in = inside.sum(axis=1)
+    keep = n_in == 3
+    crossing = np.flatnonzero((n_in > 0) & (n_in < 3))
+    if crossing.size == 0:
+        kept = np.flatnonzero(keep)
+        return tris[kept].astype(np.int32), kept.astype(np.int32), np.zeros((0, 3))
+
+    out_tris = [tris[keep]]
+    out_src = [np.flatnonzero(keep)]
+    new_verts = []
+    next_id = clip.shape[0]
+
+    def cut(a, b):
+        # Intersection of edge (a, b) with w = eps; t from linearity of w in clip space.
+        nonlocal next_id
+        t = (eps - w[a]) / (w[b] - w[a])
+        new_verts.append((a, b, float(t)))
+        next_id += 1
+        return next_id - 1
+
+    for ti in crossing:
+        poly = []
+        ids = tris[ti]
+        ins = inside[ti]
+        for k in range(3):
+            a, b = ids[k], ids[(k + 1) % 3]
+            if ins[k]:
+                poly.append(int(a))
+            if ins[k] != ins[(k + 1) % 3]:
+                poly.append(cut(int(a), int(b)))
+        for k in range(1, len(poly) - 1):  # fan
+            out_tris.append(np.array([[poly[0], poly[k], poly[k + 1]]]))
+            out_src.append(np.array([ti]))
+    return (np.concatenate(out_tris).astype(np.int32),
+            np.concatenate(out_src).astype(np.int32),
+            np.asarray(new_verts, np.float64).reshape(-1, 3))
 
 
 def project_points(mvp, positions) -> jnp.ndarray:

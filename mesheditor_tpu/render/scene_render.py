@@ -16,7 +16,7 @@ import numpy as np
 
 from .camera import Camera, frame_points, view_projection
 from .picking import box_select, pick_element, pick_object
-from .raster import GBuffer, project_points, rasterize
+from .raster import GBuffer, clip_near, project_points, rasterize
 from .shading import (
     LightBank, MaterialTable, build_atlas, shade, vertex_normals, vertex_tangents,
 )
@@ -206,9 +206,41 @@ class SceneRenderer:
         from .. import profile
 
         self.clip = np.asarray(project_points(mvp, batch.positions))
+        # Near-plane crossers are clipped on host into fans of safe triangles; the
+        # lerp recipes extend every per-vertex attribute consistently (clip space is
+        # linear in world space, so one t serves all).
+        self._tris, self._tri_src, new_verts = clip_near(self.clip, batch.triangles)
+        self._positions = np.asarray(batch.positions)
+        self._normals = np.asarray(batch.normals)
+        self._uvs = batch.uvs
+        self._tangents = batch.tangents
+        if new_verts.shape[0]:
+            a = new_verts[:, 0].astype(np.int64)
+            b = new_verts[:, 1].astype(np.int64)
+            t = new_verts[:, 2][:, None]
+
+            def lerp(arr):
+                arr = np.asarray(arr)
+                return np.concatenate(
+                    [arr, (arr[a] * (1 - t) + arr[b] * t).astype(arr.dtype)])
+
+            def lerp_unit(arr):
+                out = lerp(arr)
+                nn = np.linalg.norm(out, axis=1, keepdims=True)
+                return np.divide(out, nn, out=out, where=nn > 1e-20)
+
+            self.clip = lerp(self.clip)
+            self._positions = lerp(self._positions)
+            self._normals = lerp_unit(self._normals)
+            if self._uvs is not None and len(self._uvs) == len(batch.positions):
+                self._uvs = lerp(self._uvs)
+            if self._tangents is not None:
+                self._tangents = lerp_unit(self._tangents)
+        self._tri_obj = (np.asarray(batch.tri_obj)[self._tri_src]
+                         if self._tri_src.size else np.zeros(0, np.int32))
         with profile.scope("render/rasterize"):
             self.gbuf: GBuffer = rasterize(
-                self.clip, batch.triangles, self._rw, self._rh, chunk=settings.chunk
+                self.clip, self._tris, self._rw, self._rh, chunk=settings.chunk
             )
             if profile.enabled:
                 import jax
@@ -221,21 +253,21 @@ class SceneRenderer:
         s = self.settings
         with profile.scope("render/shade"):
             img = shade(
-                self.gbuf, self.batch.positions, self.batch.normals,
-                self.batch.triangles,
-                self.batch.tri_obj, self.batch.materials, self.batch.lights,
+                self.gbuf, self._positions, self._normals,
+                self._tris,
+                self._tri_obj, self.batch.materials, self.batch.lights,
                 eye=np.asarray(self.camera.eye, np.float32),
                 ambient=s.ambient, background=s.background,
                 flat=s.mode == "flat",
                 wireframe=s.mode == "wireframe",
                 wire_only=s.mode == "wireframe_only",
-                uvs=self.batch.uvs, atlas=self.batch.atlas,
+                uvs=self._uvs, atlas=self.batch.atlas,
                 sky=s.sky, ground=s.ground,
                 mr_atlas=self.batch.mr_atlas,
                 emissive_atlas=self.batch.emissive_atlas,
                 normal_atlas=self.batch.normal_atlas,
                 occlusion_atlas=self.batch.occlusion_atlas,
-                tangents=self.batch.tangents,
+                tangents=self._tangents,
             )
             img = np.asarray(img)
         ss = max(int(s.supersample), 1)
@@ -250,16 +282,37 @@ class SceneRenderer:
     def pick_entity(self, x: int, y: int) -> int:
         """Entity under the pixel; -1 on background (ObjectPick.comp analog)."""
         rx, ry = self._to_render_px(x, y)
-        row = pick_object(self.gbuf, self.batch.tri_obj, rx, ry)
+        row = pick_object(self.gbuf, self._tri_obj, rx, ry)
         return self.batch.entities[row] if row >= 0 else -1
 
     def pick_element(self, x: int, y: int, kind: str = "face"):
+        """Element picks in SOURCE-triangle space: clipped replacement triangles map
+        back through tri_src, and synthesized near-plane vertices snap to the source
+        triangle's closest original corner."""
         rx, ry = self._to_render_px(x, y)
-        return pick_element(self.gbuf, self.batch.triangles, rx, ry, kind)
+        res = pick_element(self.gbuf, self._tris, rx, ry, kind)
+        if res is None:
+            return None
+        if kind == "face":
+            return int(self._tri_src[res])
+        n_orig = self.batch.positions.shape[0]
+
+        def snap(vid):
+            if vid < n_orig:
+                return int(vid)
+            tri = int(np.asarray(self.gbuf.tri)[ry, rx])
+            src = np.asarray(self.batch.triangles).reshape(-1, 3)[self._tri_src[tri]]
+            d = ((self._positions[src] - self._positions[vid]) ** 2).sum(1)
+            return int(src[int(np.argmin(d))])
+
+        if kind == "vertex":
+            return snap(res)
+        a, b = (snap(v) for v in res)
+        return (min(a, b), max(a, b))
 
     def box_select_entities(self, x0, y0, x1, y1) -> list:
         ss = max(int(self.settings.supersample), 1)
-        rows = box_select(self.gbuf, self.batch.tri_obj, x0 * ss, y0 * ss,
+        rows = box_select(self.gbuf, self._tri_obj, x0 * ss, y0 * ss,
                           x1 * ss, y1 * ss)
         return [self.batch.entities[int(i)] for i in rows]
 

@@ -335,3 +335,54 @@ class TestHemisphereLight:
         # The environment adds light; up-facing pixels gain the most.
         assert lit.mean() > base.mean()
         assert not np.array_equal(base, lit)
+
+
+class TestNearPlaneClipping:
+    def test_clip_near_fans(self):
+        import numpy as np
+
+        from mesheditor_tpu.render.raster import clip_near
+
+        # One triangle with exactly one vertex behind the near plane -> quad fan (2 tris).
+        clip = np.array([
+            [0.0, 0.0, 0.0, 1.0],
+            [1.0, 0.0, 0.0, 1.0],
+            [0.0, 1.0, 0.0, -0.5],  # behind
+        ])
+        tris, src, new = clip_near(clip, np.array([[0, 1, 2]]))
+        assert tris.shape[0] == 2 and new.shape[0] == 2
+        assert set(src.tolist()) == {0}
+        # New vertices interpolate on the crossing edges at w = eps.
+        for pa, pb, t in new:
+            w = clip[int(pa), 3] * (1 - t) + clip[int(pb), 3] * t
+            assert abs(w - 1e-4) < 1e-12
+
+    def test_camera_inside_scene_still_renders(self):
+        import numpy as np
+
+        from mesheditor_tpu.render import RenderSettings, render_scene
+        from mesheditor_tpu.render.camera import Camera
+        from mesheditor_tpu.scene.components import MeshSurface, Transform, VisualMaterial
+        from mesheditor_tpu.scene.derive import install_default_pipeline
+        from mesheditor_tpu.scene.registry import Registry
+        from mesheditor_tpu.mesh import plane_surface
+
+        r = Registry()
+        install_default_pipeline(r)
+        e = r.create()
+        r.emplace(e, Transform())
+        pts, tris = plane_surface((40.0, 40.0))
+        floor = np.asarray(pts)[:, [0, 2, 1]]  # XZ floor
+        r.emplace(e, MeshSurface(positions=floor, triangles=np.asarray(tris, np.uint32)))
+        r.emplace(e, VisualMaterial(base_color=np.array([0.9, 0.2, 0.2, 1.0])))
+        # Eye just above the floor, looking forward: the floor's triangles CROSS the
+        # near plane. The reject-path renderer dropped them entirely.
+        cam = Camera(eye=np.array([0.0, 0.5, 0.0]),
+                     target=np.array([0.0, 0.0, -10.0]), near=0.1, far=100.0)
+        settings = RenderSettings(width=96, height=64)
+        view = render_scene(r, camera=cam, settings=settings)
+        img = np.asarray(view.image())
+        bg = np.asarray(settings.background)
+        lit = (np.abs(img - bg[None, None, :]).max(-1) > 0.05).mean()
+        assert lit > 0.3, f"floor through the near plane barely renders: {lit:.2f}"
+        assert view.pick_entity(48, 60) == e  # bottom-center pixel is the floor
