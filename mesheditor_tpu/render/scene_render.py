@@ -33,6 +33,10 @@ class RenderSettings:
     # Hemisphere environment light (sky above, ground below); zeros disable.
     sky: tuple = (0.0, 0.0, 0.0)
     ground: tuple = (0.0, 0.0, 0.0)
+    # Image-based environment: an equirect radiance map (h, w, 3) uint8 sRGB or float
+    # linear, or an already-prefiltered PrefilteredEnv. Prefiltering is cached per
+    # source array (the reference prefilters once at load, IblPrefilterPipelines.h).
+    environment: object = None
     chunk: int = 8
 
 
@@ -193,6 +197,25 @@ def flatten_scene(r) -> SceneBatch:
                       occlusion_atlas=occlusion_atlas, tangents=tangents)
 
 
+_ENV_CACHE: dict = {}
+
+
+def _resolve_environment(env):
+    """settings.environment -> PrefilteredEnv (cached per source array identity)."""
+    if env is None:
+        return None
+    from .environment import PrefilteredEnv, prefilter_environment
+
+    if isinstance(env, PrefilteredEnv):
+        return env
+    key = id(env)
+    if key not in _ENV_CACHE:
+        if len(_ENV_CACHE) > 8:
+            _ENV_CACHE.clear()
+        _ENV_CACHE[key] = prefilter_environment(env)
+    return _ENV_CACHE[key]
+
+
 class SceneRenderer:
     """A bound (scene batch, camera, settings) render with picking — the Viewport."""
 
@@ -268,6 +291,7 @@ class SceneRenderer:
                 normal_atlas=self.batch.normal_atlas,
                 occlusion_atlas=self.batch.occlusion_atlas,
                 tangents=self._tangents,
+                environment=_resolve_environment(s.environment),
             )
             img = np.asarray(img)
         ss = max(int(s.supersample), 1)

@@ -175,7 +175,7 @@ def _sample_atlas(atlas, rect, obj, uv):
 @partial(jax.jit, static_argnums=(8, 9, 10))
 def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extras,
                 flat, wireframe, wire_only, uvs=None, tex=None, mr_tex=None,
-                em_tex=None, nrm_tex=None, occ_tex=None, tangents=None):
+                em_tex=None, nrm_tex=None, occ_tex=None, tangents=None, env=None):
     depth, tri, bary = gbuf
     eye, ambient, background, wire_color, wire_eps = extras[:5]
     valid = tri >= 0
@@ -264,6 +264,10 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
 
     # Occlusion (glTF occlusionTexture R) darkens only the indirect terms.
     color = emissive + (ambient[None, None, :] + hemi) * albedo * occlusion
+    if env is not None:
+        from .environment import shade_ibl
+
+        color = color + shade_ibl(env, n, view, albedo, metallic, roughness) * occlusion
     color, _ = jax.lax.scan(add_light, color, jnp.arange(lights.kind.shape[0]))
 
     # Reinhard tone map + gamma 2.2 (deterministic, no exposure adaptation).
@@ -292,7 +296,7 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
           emissive_atlas: TextureAtlas | None = None,
           normal_atlas: TextureAtlas | None = None,
           occlusion_atlas: TextureAtlas | None = None,
-          tangents=None):
+          tangents=None, environment=None):
     """Light the G-buffer. positions/normals are world-space per-vertex arrays;
     tri_obj maps each triangle to its object row in `materials`. With `uvs` (N, 2)
     and TextureAtlases, the full glTF texture set modulates the factors: baseColor
@@ -328,6 +332,7 @@ def shade(gbuf, positions, normals, tris, tri_obj, materials: MaterialTable,
         nrm_tex=None if off or tan_arr is None else normal_atlas,
         occ_tex=None if off else occlusion_atlas,
         tangents=tan_arr,
+        env=environment,
     )
 
 

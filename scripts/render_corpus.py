@@ -205,7 +205,22 @@ def scene_supersampled():
     return r, None, RenderSettings(*SIZE, supersample=2)
 
 
+def scene_ibl_spheres():
+    r = _registry()
+    pts, tris = icosphere_surface(2)
+    for i, rough in enumerate((0.1, 0.4, 0.8)):
+        _add(r, np.asarray(pts) * 0.45, tris, pos=(i * 1.1, 0, 0),
+             mat=VisualMaterial(base_color=np.array([0.95, 0.95, 0.95, 1.0]),
+                                metallic=1.0, roughness=rough))
+    env = np.zeros((32, 64, 3), np.float32)
+    env[:16] = (0.3, 0.5, 1.2)
+    env[16:] = (0.5, 0.35, 0.2)
+    env[4:8, 10:14] = (40.0, 38.0, 30.0)  # sun blob
+    return r, None, RenderSettings(*SIZE, ambient=(0.0, 0.0, 0.0), environment=env)
+
+
 SCENES = {
+    "ibl_spheres": scene_ibl_spheres,
     "primitives_line": scene_primitives_line,
     "torus_wireframe": scene_torus_wireframe,
     "cuboid_flat_pointlight": scene_cuboid_flat_pointlight,

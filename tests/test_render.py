@@ -386,3 +386,64 @@ class TestNearPlaneClipping:
         lit = (np.abs(img - bg[None, None, :]).max(-1) > 0.05).mean()
         assert lit > 0.3, f"floor through the near plane barely renders: {lit:.2f}"
         assert view.pick_entity(48, 60) == e  # bottom-center pixel is the floor
+
+
+class TestEnvironmentIBL:
+    @staticmethod
+    def _sky_env():
+        import numpy as np
+
+        # Blue sky above, warm ground below, bright "sun" blob.
+        h, w = 32, 64
+        env = np.zeros((h, w, 3), np.float32)
+        env[: h // 2] = (0.3, 0.5, 1.2)
+        env[h // 2:] = (0.5, 0.35, 0.2)
+        env[4:8, 10:14] = (40.0, 38.0, 30.0)
+        return env
+
+    def test_prefilter_levels_blur(self):
+        import numpy as np
+
+        from mesheditor_tpu.render.environment import prefilter_environment
+
+        env = prefilter_environment(self._sky_env(), levels=4)
+        spec = np.asarray(env.specular)
+        assert spec.shape[0] == 4 and np.isfinite(spec).all()
+        # Rougher levels spread the sun: the peak must fall monotonically.
+        peaks = spec.max(axis=(1, 2, 3))
+        assert peaks[0] > peaks[1] > peaks[2] > peaks[3]
+        diff = np.asarray(env.diffuse)
+        assert np.isfinite(diff).all() and diff.max() < peaks[0]
+
+    def test_ibl_lights_the_scene_and_tracks_roughness(self):
+        import numpy as np
+
+        from mesheditor_tpu.mesh import icosphere_surface
+        from mesheditor_tpu.render import RenderSettings, render_scene
+        from mesheditor_tpu.scene.components import (
+            MeshSurface, Transform, VisualMaterial,
+        )
+        from mesheditor_tpu.scene.derive import install_default_pipeline
+        from mesheditor_tpu.scene.registry import Registry
+
+        def scene(roughness):
+            r = Registry()
+            install_default_pipeline(r)
+            e = r.create()
+            r.emplace(e, Transform())
+            pts, tris = icosphere_surface(2)
+            r.emplace(e, MeshSurface(positions=np.asarray(pts),
+                                     triangles=np.asarray(tris, np.uint32)))
+            r.emplace(e, VisualMaterial(metallic=1.0, roughness=roughness,
+                                        base_color=np.array([0.9, 0.9, 0.9, 1.0])))
+            return r
+
+        env = self._sky_env()
+        s_dark = RenderSettings(width=96, height=64, ambient=(0, 0, 0))
+        s_env = RenderSettings(width=96, height=64, ambient=(0, 0, 0), environment=env)
+        dark = np.asarray(render_scene(scene(0.2), settings=s_dark).image())
+        lit = np.asarray(render_scene(scene(0.2), settings=s_env).image())
+        assert lit.mean() > dark.mean() + 0.02, "environment must light the metal"
+        rough = np.asarray(render_scene(scene(0.95), settings=s_env).image())
+        # A mirror sphere shows the sharp sun; a rough one spreads it out.
+        assert lit.max() > rough.max() + 0.02
