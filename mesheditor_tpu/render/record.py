@@ -98,10 +98,16 @@ def turntable_frames(positions, triangles, n_frames: int = 36, settings=None,
 
 
 def animation_frames(registry, clip, camera=None, seconds: float | None = None,
-                     fps: float = 30.0, settings=None):
+                     fps: float = 30.0, settings=None, motion_blur_steps: int = 1,
+                     shutter: float = 0.5):
     """Fixed-step clip playback: samples the animation clip (scene/animation.py) at
     the exact frame clock and renders each step — the deterministic headless capture
-    discipline (README.md:182, fixed-step GPU-paced)."""
+    discipline (README.md:182, fixed-step GPU-paced).
+
+    motion_blur_steps > 1 renders that many substeps across the frame's shutter
+    interval and averages them — the reference's multi-step BlurAccumulate resolve
+    (src/viewport/ViewportRenderGpu.h:23-35), re-expressed as plain accumulation
+    (deterministic; substep times are exact fractions of the frame clock)."""
     from ..scene.animation import evaluate_clip
     from ..scene.components import MeshSurface
     from .scene_render import RenderSettings, render_scene
@@ -110,10 +116,24 @@ def animation_frames(registry, clip, camera=None, seconds: float | None = None,
     if seconds is None:
         seconds = clip.duration
     n = max(int(round(seconds * fps)), 1)
-    for i in range(n):
-        weights = evaluate_clip(registry, clip, i / fps)
+    steps = max(int(motion_blur_steps), 1)
+
+    def render_at(t):
+        weights = evaluate_clip(registry, clip, t)
         for e, w in weights.items():
             surf = registry.get(e, MeshSurface)
             if surf is not None:
                 surf.morph_weights = np.asarray(w, np.float64)
-        yield render_scene(registry, camera=camera, settings=settings).image()
+        return np.asarray(render_scene(registry, camera=camera,
+                                       settings=settings).image())
+
+    for i in range(n):
+        if steps == 1:
+            yield render_at(i / fps)
+            continue
+        acc = None
+        for k in range(steps):
+            t = (i + shutter * k / (steps - 1 if steps > 1 else 1)) / fps
+            img = render_at(t)
+            acc = img if acc is None else acc + img
+        yield acc / steps

@@ -142,3 +142,50 @@ class TestRecord:
                                        settings=RenderSettings(24, 16)))
         assert len(frames) == 4
         assert not np.array_equal(frames[0], frames[-1])  # the cube moved
+
+    def test_motion_blur_accumulates_substeps(self):
+        from mesheditor_tpu.mesh import cuboid_surface
+        from mesheditor_tpu.render import RenderSettings
+        from mesheditor_tpu.render.record import animation_frames
+        from mesheditor_tpu.scene.animation import (
+            AnimationChannel, AnimationClip, Interpolation, TargetPath,
+        )
+        from mesheditor_tpu.scene.components import MeshSurface, Transform
+        from mesheditor_tpu.scene.derive import install_default_pipeline
+        from mesheditor_tpu.scene.registry import Registry
+        from mesheditor_tpu.render.camera import Camera
+
+        def scene():
+            r = Registry()
+            install_default_pipeline(r)
+            e = r.create()
+            pos, tris = cuboid_surface((0.2, 0.2, 0.2))
+            r.emplace(e, MeshSurface(positions=pos,
+                                     triangles=np.asarray(tris, np.uint32)))
+            r.emplace(e, Transform())
+            clip = AnimationClip("slide", [AnimationChannel(
+                entity=e, path=TargetPath.TRANSLATION,
+                times=np.array([0.0, 1.0]),
+                values=np.array([[-1.0, 0, 0], [1.0, 0, 0]]),
+                interpolation=Interpolation.LINEAR,
+            )])
+            return r, clip
+
+        cam = Camera(eye=np.array([0.0, 0.0, 4.0]), near=0.1, far=50.0)
+        s = RenderSettings(64, 40)
+        r1, c1 = scene()
+        sharp = list(animation_frames(r1, c1, camera=cam, fps=2, seconds=1.0,
+                                      settings=s))[1]
+        r2, c2 = scene()
+        blurred = list(animation_frames(r2, c2, camera=cam, fps=2, seconds=1.0,
+                                        settings=s, motion_blur_steps=4))[1]
+        bg = np.asarray(s.background)
+        cover_sharp = (np.abs(sharp - bg[None, None, :]).max(-1) > 0.03).sum()
+        cover_blur = (np.abs(blurred - bg[None, None, :]).max(-1) > 0.03).sum()
+        # The shutter smears the cube across more pixels than any single instant.
+        assert cover_blur > cover_sharp * 1.3, (cover_sharp, cover_blur)
+        # Deterministic.
+        r3, c3 = scene()
+        again = list(animation_frames(r3, c3, camera=cam, fps=2, seconds=1.0,
+                                      settings=s, motion_blur_steps=4))[1]
+        assert np.array_equal(blurred, again)
