@@ -368,21 +368,29 @@ def build_amg(
 
     Host: aggregation + rigid-body QR (numpy, one pass). Device: Galerkin coarse
     assembly from the already-resident f64 element blocks + f64 coarse inverse."""
+    from .. import profile
+
     n_nodes = quad.node_count
     coords = _quad_node_coords(points, kept_tets, n_nodes)
-    agg, nagg = _aggregate(np.asarray(quad.element_nodes), n_nodes, max_coarse_dofs // 6)
-    w = _rigid_weights(coords, np.clip(agg, 0, None), nagg)
+    with profile.scope("amg/aggregate"):
+        agg, nagg = _aggregate(np.asarray(quad.element_nodes), n_nodes,
+                               max_coarse_dofs // 6)
+    with profile.scope("amg/rigid_weights"):
+        w = _rigid_weights(coords, np.clip(agg, 0, None), nagg)
     w[agg < 0] = 0.0  # orphan nodes contribute nothing to the coarse space
     agg_safe = np.clip(agg, 0, None).astype(np.int32)
     agg6 = agg_safe[:, None] * 6 + np.arange(6, dtype=np.int32)[None, :]
 
     w64_d = jnp.asarray(w)
     agg6_d = jnp.asarray(agg6)
-    ac = _coarse_assemble(
-        ops.k_blocks, ops.rho_vol, ops.m_unit,
-        jnp.asarray(np.asarray(quad.element_nodes, np.int32)),
-        w64_d, agg6_d, jnp.float64(sigma), nagg,
-    )
+    with profile.scope("amg/coarse_assemble"):
+        ac = _coarse_assemble(
+            ops.k_blocks, ops.rho_vol, ops.m_unit,
+            jnp.asarray(np.asarray(quad.element_nodes, np.int32)),
+            w64_d, agg6_d, jnp.float64(sigma), nagg,
+        )
+        if profile.enabled:
+            jax.block_until_ready(ac)
     if jax.default_backend() == "cpu":
         # LAPACK beats emulated-matmul Newton-Schulz on host; device arrays are free
         # to round-trip here (no tunnel).
@@ -395,16 +403,21 @@ def build_amg(
         # only symmetric to roundoff, so symmetrize.
         ac_inv = jnp.asarray(0.5 * (inv_h + inv_h.T))
     else:
-        ac_inv = _coarse_invert(ac)
+        with profile.scope("amg/coarse_invert"):
+            ac_inv = _coarse_invert(ac)
+            if profile.enabled:
+                jax.block_until_ready(ac_inv)
     inv_diag = (1.0 / (k_diag - sigma * m_diag)).astype(jnp.float32)
 
     # Global per-component rigid modes, M-orthonormalized on device (f64 pencil apply
     # once; the 6c x 6c Gram factors on host).
-    comp, ncomp = _components(np.asarray(quad.element_nodes), n_nodes)
+    with profile.scope("amg/components"):
+        comp, ncomp = _components(np.asarray(quad.element_nodes), n_nodes)
     r_raw = rigid_modes(coords, comp, max(ncomp, 1), ops.n_dofs)
-    r_dev = jnp.asarray(r_raw)
-    mr = ops.mmat(r_dev)
-    g = np.asarray(r_dev.T @ mr)
+    with profile.scope("amg/rigid_upload"):
+        r_dev = jnp.asarray(r_raw)
+        mr = ops.mmat(r_dev)
+        g = np.asarray(r_dev.T @ mr)
     g = 0.5 * (g + g.T)
     ell = np.linalg.cholesky(g + 1e-14 * np.trace(g) / g.shape[0] * np.eye(g.shape[0]))
     linv_t = np.linalg.inv(ell).T
@@ -414,8 +427,9 @@ def build_amg(
     if not omega:
         from ..fem.assembly import bake_shifted_f32
 
-        shifted = bake_shifted_f32(ops, sigma)
-        rho = float(_dinv_a_radius(shifted, inv_diag, 4))
+        with profile.scope("amg/omega_power_iter"):
+            shifted = bake_shifted_f32(ops, sigma)
+            rho = float(_dinv_a_radius(shifted, inv_diag, 4))
         omega = 1.0 / (1.05 * max(rho, 1.0))
     return AmgPrecond(
         agg6=agg6_d,

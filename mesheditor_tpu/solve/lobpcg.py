@@ -163,7 +163,36 @@ def _solve_reduced(a: np.ndarray, b: np.ndarray, p_want: int):
     return theta[:p_want], np.ascontiguousarray(c[:, :p_want])
 
 
+# ---- TPU matmul precision ----
+#
+# JAX's DEFAULT dot precision on TPU routes f32 matmuls through the MXU at
+# bf16-CLASS input precision (~2^-8 relative). The audio/render paths are designed
+# for that; the eigensolver is NOT: recombining the basis (x = s @ c) at bf16
+# precision contaminates a converged low-theta column with ~1e-3 of every other
+# basis column, and the fresh f64 Rayleigh quotient then reads
+# ~(1e-3)^2 * theta_max ~ 1e7+ for what should be a near-zero rigid-body mode —
+# the iteration can never settle (observed exactly this on a v5e: lam[0] ~ 1e7 and
+# rising for 64 iterations on the bench box, while the identical program converges
+# on CPU where f32 dots are exact). Every jitted solver stage therefore traces
+# under "highest" matmul precision: full-f32 MXU passes for f32 panels (~6x the
+# bf16 MAC count — microseconds against the gather/segment-sum-bound matvecs) and
+# unchanged emulated-f64 dots for f64 panels. The inner PCG preconditioner rides
+# along; its quality only gates convergence RATE, but the extra passes are noise
+# next to its gather traffic.
+def _precise(fn):
+    """Trace `fn` under full-f32 matmul precision (see note above)."""
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 @partial(jax.jit, static_argnames=("p_want",))
+@_precise
 def _rr_device(a, b, p_want: int, eps_b, s_hint):
     """Device Rayleigh-Ritz via SPECTRAL FOLD — no f64 eigh anywhere.
 
@@ -280,6 +309,7 @@ def _normalize_cols(block, mb):
 
 
 @jax.jit
+@_precise
 def _f32_init_stage(ops, x):
     """Normalize the seed panel, apply the pencil (f64 on the X block), and form the
     first Gram matrices."""
@@ -309,6 +339,7 @@ def _blocks_to_gram(xx, xw, xp, ww, wp, pp):
 
 
 @partial(jax.jit, static_argnames=("inner_iters",))
+@_precise
 def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters):
     """One LOBPCG iteration up to the Gram matrices (the device Rayleigh-Ritz runs as
     its own small program, see _rr_device): recombine [X | P] from the previous basis
@@ -386,6 +417,7 @@ def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters):
 
 
 @jax.jit
+@_precise
 def _materialize_f64(s, c):
     return (s.astype(jnp.float64)) @ c.astype(jnp.float64)
 
@@ -394,6 +426,7 @@ def _materialize_f64(s, c):
 
 
 @jax.jit
+@_precise
 def _polish_init(ops, x):
     """Pencil products and the [X | 0 | 0] block layout of the f32-converged basis, in
     f64. The f64 Rayleigh-Ritz over this basis has eigenvalue error quadratic in the
@@ -412,6 +445,7 @@ def _polish_init(ops, x):
 
 
 @partial(jax.jit, static_argnames=("inner_iters",))
+@_precise
 def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
     """One [X | W | P] LOBPCG refinement step in f64, up to the Gram matrices. Full
     momentum matters in the polish too: without the P block, near-zero rigid-body
@@ -481,6 +515,7 @@ def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
 
 
 @jax.jit
+@_precise
 def _extract_x(s, c):
     return s @ c.astype(s.dtype)
 
@@ -719,23 +754,35 @@ def lobpcg_pencil(
     # as f32 gets — hand off to the f64 polish loop, whose floor is eps64-grade.
     tol_handoff = max(tol32, 1e-4)
 
+    import time as _time
+
+    last_t = [_time.perf_counter()]
+
+    hand_prefix = 0
+
     def check(stage, iteration, theta_dev, tol_now):
-        nonlocal prev, streak, streak_hand, hand_ok
+        nonlocal prev, streak, streak_hand, hand_ok, hand_prefix
         lam = np.asarray(jax.device_get(theta_dev), np.float64)
         if not np.isfinite(lam[:nev]).all():
             return "nan", lam
         settled, rel, delta, window = _settled_prefix(lam, prev, nev, tol_now, sigma, floor32)
+        settled_h = nev
         if stage == "eig32":
             settled_h, _, _, _ = _settled_prefix(lam, prev, nev, tol_handoff, sigma, floor32)
             streak_hand = streak_hand + 1 if settled_h >= nev else 0
             hand_ok = hand_ok or settled_h >= nev
+            hand_prefix = settled_h
         prev = lam
         streak = streak + 1 if settled >= nev else 0
         if debug:
+            now = _time.perf_counter()
+            dt, last_t[0] = now - last_t[0], now
             j = min(settled, nev - 1)
+            jh = min(settled_h, nev - 1)
             print(
                 f"[{stage}] it={iteration} settled={settled}/{nev} streak={streak} "
-                f"hand={streak_hand} lam={lam[j]:.9e} rel={rel[j]:.3e}",
+                f"hand={streak_hand} lam={lam[j]:.9e} rel={rel[j]:.3e} "
+                f"hblk={settled_h}:rel={rel[jh]:.2e}:lam={lam[jh]:.4e} dt={dt:.2f}s",
                 flush=True,
             )
             if os.environ.get("MESHEDITOR_TPU_DEBUG_EIG") == "2":
@@ -751,12 +798,31 @@ def lobpcg_pencil(
 
     lam = None
     handoff = False
+    # Stagnation detector: the fold-RR's f32 eigh carries per-value noise that GROWS
+    # with the Ritz value (~eps32 * dim * (theta + s2)); mid-spectrum values on real
+    # pencils fluctuate at 1e-4..1e-3 forever, so "every value settled at 1e-4" can be
+    # unreachable no matter how converged the SUBSPACE is (measured on a v5e: the
+    # handoff prefix plateaus in the 10-50 range while values jitter around fixed
+    # points). When the handoff prefix stops improving, the subspace is at its f32
+    # floor — hand off to the f64 polish, whose host Rayleigh-Ritz is noise-free and
+    # whose eigenvalue error is quadratic in the remaining subspace error.
+    best_hand = -1
+    hand_stall = 0
+    hand_patience = 6
     with profile.scope("eig/f32_loop"):
         for it in range(f32_max):
-            s, a, b, res_d = _f32_iter_stage(
-                op_state, shifted, s, c, inv_diag32, inner_iters,
-            )
-            theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
+            # The two sync=... scopes serialize the pipeline when profiling is ON;
+            # they are free (and non-blocking) in production.
+            with profile.scope("iter_stage", sync=None):
+                s, a, b, res_d = _f32_iter_stage(
+                    op_state, shifted, s, c, inv_diag32, inner_iters,
+                )
+                if profile.enabled:
+                    jax.block_until_ready(b)
+            with profile.scope("rr_device"):
+                theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
+                if profile.enabled:
+                    jax.block_until_ready(c)
             s_hint = theta_d[p - 1]
             f32_iters = it + 1
             ops_count += 6 + inner_iters
@@ -766,7 +832,12 @@ def lobpcg_pencil(
                     return fail(f32_iters, ops_count, status)
                 if status == "done":
                     break
-                if status == "handoff":
+                if hand_prefix > best_hand:
+                    best_hand, hand_stall = hand_prefix, 0
+                else:
+                    hand_stall += 1
+                if status == "handoff" or (hand_stall >= hand_patience
+                                           and pending[0] >= 8):
                     handoff = True
                     break
             pending = (f32_iters, theta_d)
@@ -774,10 +845,8 @@ def lobpcg_pencil(
             status, lam = check("eig32", pending[0], pending[1], tol32)
             if status in ("cancel", "nan"):
                 return fail(f32_iters, ops_count, status)
-            if status == "handoff" or (status != "done" and hand_ok):
+            if status != "done":
                 handoff = True  # subspace at its f32 floor; polish owns the rest
-            elif status != "done":
-                return fail(f32_iters, ops_count)
 
     if handoff:
         need_polish = True  # f32 settling was unreachable; enforce tol in f64
@@ -844,11 +913,15 @@ def lobpcg_pencil(
     since_improve = 0
     with profile.scope("eig/polish_loop"):
         for pit in range(polish_max):
-            s64, ks64, ms64, a64, b64, res_d = _polish_stage(
-                op_state, shifted, s64, ks64, ms64, c64, theta64_d, inv_diag32,
-                inner_iters,
-            )
-            theta_h, c_h = _rr_host(a64, b64)
+            with profile.scope("polish_stage"):
+                s64, ks64, ms64, a64, b64, res_d = _polish_stage(
+                    op_state, shifted, s64, ks64, ms64, c64, theta64_d, inv_diag32,
+                    inner_iters,
+                )
+                if profile.enabled:
+                    jax.block_until_ready(b64)
+            with profile.scope("rr_host"):
+                theta_h, c_h = _rr_host(a64, b64)
             theta64_d = jnp.asarray(theta_h)
             s_hint = theta64_d[p - 1]
             c64 = jnp.asarray(c_h)
