@@ -39,6 +39,7 @@ from ..scene.components import (
     SceneNode,
     SolveSettingsComponent,
     Transform,
+    VisibilityComponent,
     VisualMaterial,
 )
 from ..scene.registry import Registry
@@ -124,6 +125,198 @@ def _export_modal_model(gltf, buffers, modes, mass, material_index, name):
     return entry
 
 
+def _mark_used(gltf, name: str) -> None:
+    used = gltf.setdefault("extensionsUsed", [])
+    if name not in used:
+        used.append(name)
+
+
+def _export_material_extensions(gltf, entry: dict, vm) -> None:
+    """Write the KHR_materials_* extension blocks a VisualMaterial departs from
+    defaults on (the reference supports the full set, README.md:93-119). Every block
+    is omitted at its spec default so plain materials stay minimal."""
+    ext: dict = {}
+    g = lambda name, d: getattr(vm, name, d)  # noqa: E731
+    if g("emissive_strength", 1.0) != 1.0:
+        ext["KHR_materials_emissive_strength"] = {
+            "emissiveStrength": float(vm.emissive_strength)}
+    if g("unlit", False):
+        ext["KHR_materials_unlit"] = {}
+    if g("ior", 1.5) != 1.5:
+        ext["KHR_materials_ior"] = {"ior": float(vm.ior)}
+    spec = {}
+    if g("specular", 1.0) != 1.0:
+        spec["specularFactor"] = float(vm.specular)
+    if np.any(np.asarray(g("specular_color", np.ones(3))) != 1.0):
+        spec["specularColorFactor"] = [float(v) for v in vm.specular_color]
+    if spec:
+        ext["KHR_materials_specular"] = spec
+    if g("clearcoat", 0.0):
+        ext["KHR_materials_clearcoat"] = {
+            "clearcoatFactor": float(vm.clearcoat),
+            "clearcoatRoughnessFactor": float(g("clearcoat_roughness", 0.0)),
+        }
+    if np.any(np.asarray(g("sheen_color", np.zeros(3))) != 0.0):
+        ext["KHR_materials_sheen"] = {
+            "sheenColorFactor": [float(v) for v in vm.sheen_color],
+            "sheenRoughnessFactor": float(g("sheen_roughness", 0.0)),
+        }
+    if g("transmission", 0.0):
+        ext["KHR_materials_transmission"] = {
+            "transmissionFactor": float(vm.transmission)}
+    if g("diffuse_transmission", 0.0):
+        ext["KHR_materials_diffuse_transmission"] = {
+            "diffuseTransmissionFactor": float(vm.diffuse_transmission),
+            "diffuseTransmissionColorFactor": [
+                float(v) for v in g("diffuse_transmission_color", np.ones(3))],
+        }
+    if g("thickness", 0.0) or g("attenuation_distance", 0.0):
+        vol = {"thicknessFactor": float(g("thickness", 0.0))}
+        if g("attenuation_distance", 0.0):
+            vol["attenuationDistance"] = float(vm.attenuation_distance)
+        if np.any(np.asarray(g("attenuation_color", np.ones(3))) != 1.0):
+            vol["attenuationColor"] = [float(v) for v in vm.attenuation_color]
+        ext["KHR_materials_volume"] = vol
+    if g("dispersion", 0.0):
+        ext["KHR_materials_dispersion"] = {"dispersion": float(vm.dispersion)}
+    if g("anisotropy_strength", 0.0):
+        ext["KHR_materials_anisotropy"] = {
+            "anisotropyStrength": float(vm.anisotropy_strength),
+            "anisotropyRotation": float(g("anisotropy_rotation", 0.0)),
+        }
+    if g("iridescence", 0.0):
+        ext["KHR_materials_iridescence"] = {
+            "iridescenceFactor": float(vm.iridescence),
+            "iridescenceIor": float(g("iridescence_ior", 1.3)),
+            "iridescenceThicknessMinimum": float(g("iridescence_thickness_min", 100.0)),
+            "iridescenceThicknessMaximum": float(g("iridescence_thickness_max", 400.0)),
+        }
+    if ext:
+        entry["extensions"] = ext
+        for name in ext:
+            _mark_used(gltf, name)
+
+
+def _import_material_extensions(m: dict, kwargs: dict) -> None:
+    """Parse the KHR_materials_* blocks into VisualMaterial constructor kwargs."""
+    ext = m.get("extensions") or {}
+
+    def block(name):
+        return ext.get(name)
+
+    b = block("KHR_materials_emissive_strength")
+    if b:
+        kwargs["emissive_strength"] = float(b.get("emissiveStrength", 1.0))
+    if block("KHR_materials_unlit") is not None:
+        kwargs["unlit"] = True
+    b = block("KHR_materials_ior")
+    if b:
+        kwargs["ior"] = float(b.get("ior", 1.5))
+    b = block("KHR_materials_specular")
+    if b:
+        kwargs["specular"] = float(b.get("specularFactor", 1.0))
+        kwargs["specular_color"] = np.asarray(
+            b.get("specularColorFactor", [1.0, 1.0, 1.0]), np.float64)
+    b = block("KHR_materials_clearcoat")
+    if b:
+        kwargs["clearcoat"] = float(b.get("clearcoatFactor", 0.0))
+        kwargs["clearcoat_roughness"] = float(b.get("clearcoatRoughnessFactor", 0.0))
+    b = block("KHR_materials_sheen")
+    if b:
+        kwargs["sheen_color"] = np.asarray(
+            b.get("sheenColorFactor", [0.0, 0.0, 0.0]), np.float64)
+        kwargs["sheen_roughness"] = float(b.get("sheenRoughnessFactor", 0.0))
+    b = block("KHR_materials_transmission")
+    if b:
+        kwargs["transmission"] = float(b.get("transmissionFactor", 0.0))
+    b = block("KHR_materials_diffuse_transmission")
+    if b:
+        kwargs["diffuse_transmission"] = float(b.get("diffuseTransmissionFactor", 0.0))
+        kwargs["diffuse_transmission_color"] = np.asarray(
+            b.get("diffuseTransmissionColorFactor", [1.0, 1.0, 1.0]), np.float64)
+    b = block("KHR_materials_volume")
+    if b:
+        kwargs["thickness"] = float(b.get("thicknessFactor", 0.0))
+        kwargs["attenuation_distance"] = float(b.get("attenuationDistance", 0.0))
+        kwargs["attenuation_color"] = np.asarray(
+            b.get("attenuationColor", [1.0, 1.0, 1.0]), np.float64)
+    b = block("KHR_materials_dispersion")
+    if b:
+        kwargs["dispersion"] = float(b.get("dispersion", 0.0))
+    b = block("KHR_materials_anisotropy")
+    if b:
+        kwargs["anisotropy_strength"] = float(b.get("anisotropyStrength", 0.0))
+        kwargs["anisotropy_rotation"] = float(b.get("anisotropyRotation", 0.0))
+    b = block("KHR_materials_iridescence")
+    if b:
+        kwargs["iridescence"] = float(b.get("iridescenceFactor", 0.0))
+        kwargs["iridescence_ior"] = float(b.get("iridescenceIor", 1.3))
+        kwargs["iridescence_thickness_min"] = float(
+            b.get("iridescenceThicknessMinimum", 100.0))
+        kwargs["iridescence_thickness_max"] = float(
+            b.get("iridescenceThicknessMaximum", 400.0))
+
+
+_TEXTURE_KEYS = ("baseColorTexture", "metallicRoughnessTexture", "emissiveTexture",
+                 "normalTexture", "occlusionTexture")
+
+
+def _strip_texture_refs(m: dict) -> dict:
+    """A deep-copied glTF material dict with texture references removed (variant
+    mappings store factors only — texture indices are document-local)."""
+    import copy
+
+    m = copy.deepcopy(m)
+    m.pop("normalTexture", None)
+    m.pop("occlusionTexture", None)
+    m.pop("emissiveTexture", None)
+    pbr = m.get("pbrMetallicRoughness")
+    if pbr:
+        pbr.pop("baseColorTexture", None)
+        pbr.pop("metallicRoughnessTexture", None)
+    return m
+
+
+def _material_factor_kwargs(m: dict) -> dict:
+    """VisualMaterial factor kwargs from a glTF material dict (no textures)."""
+    pbr = m.get("pbrMetallicRoughness", {})
+    kwargs = dict(
+        base_color=np.asarray(pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0]),
+                              np.float64),
+        metallic=float(pbr.get("metallicFactor", 1.0)),
+        roughness=float(pbr.get("roughnessFactor", 1.0)),
+        emissive=np.asarray(m.get("emissiveFactor", [0.0, 0.0, 0.0]), np.float64),
+        double_sided=bool(m.get("doubleSided", False)),
+        alpha_mode=m.get("alphaMode", "OPAQUE"),
+        alpha_cutoff=float(m.get("alphaCutoff", 0.5)),
+    )
+    _import_material_extensions(m, kwargs)
+    return kwargs
+
+
+def apply_variant(r: Registry, name: str) -> int:
+    """Activate a KHR_materials_variants variant by name: every entity whose
+    MaterialVariants mappings cover the variant gets its VisualMaterial factor
+    fields rewritten (textures stay). Returns the number of entities updated."""
+    from ..scene.components import MaterialVariants
+
+    changed = 0
+    for e, mv in list(r.view(MaterialVariants)):
+        if name not in mv.names:
+            continue
+        idx = mv.names.index(name)
+        for mapping in mv.mappings:
+            if idx in mapping.get("variants", []):
+                kwargs = _material_factor_kwargs(mapping.get("material", {}))
+                vm = r.get(e, VisualMaterial) or VisualMaterial()
+                for k, v in kwargs.items():
+                    setattr(vm, k, v)
+                r.emplace(e, vm)
+                changed += 1
+                break
+    return changed
+
+
 def _compute_normals(positions, tris):
     n = np.zeros_like(positions)
     v = positions[tris]
@@ -134,8 +327,12 @@ def _compute_normals(positions, tris):
     return (n / np.maximum(norms, 1e-30)).astype(np.float32)
 
 
-def export_gltf(r: Registry, path) -> None:
-    """Write the registry's scene as .glb (binary) or .gltf (+ sidecar .bin)."""
+def export_gltf(r: Registry, path, texture_format: str = "png") -> None:
+    """Write the registry's scene as .glb (binary) or .gltf (+ sidecar .bin).
+
+    texture_format="webp" re-encodes every texture payload as LOSSLESS WebP carried
+    by EXT_texture_webp (the reference's export behavior for edited textures,
+    README.md:93-119); "png" (default) writes core-glTF PNG images."""
     path = Path(path)
     gltf = {
         "asset": {"version": "2.0", "generator": "mesheditor_tpu"},
@@ -150,6 +347,7 @@ def export_gltf(r: Registry, path) -> None:
     }
     buffers = bytearray()
     node_index: dict[int, int] = {}
+    variant_names: list[str] = []
     audio_ext = {"acousticMaterials": [], "modalModels": []}
     audio_material_index: dict[tuple, int] = {}
     implicit_shapes: list = []
@@ -209,15 +407,27 @@ def export_gltf(r: Registry, path) -> None:
                 }
                 if np.any(np.asarray(vm.emissive) != 0):
                     entry["emissiveFactor"] = [float(v) for v in vm.emissive]
+                if getattr(vm, "alpha_mode", "OPAQUE") != "OPAQUE":
+                    entry["alphaMode"] = vm.alpha_mode
+                    if vm.alpha_mode == "MASK" and vm.alpha_cutoff != 0.5:
+                        entry["alphaCutoff"] = float(vm.alpha_cutoff)
+                _export_material_extensions(gltf, entry, vm)
                 def _embed_texture(pixels) -> dict:
-                    # Embed a texture as a PNG bufferView image; returns textureInfo.
+                    # Embed a texture image (PNG, or lossless WebP behind
+                    # EXT_texture_webp); returns textureInfo.
                     import io as _io
 
                     from PIL import Image
 
-                    png = _io.BytesIO()
-                    Image.fromarray(np.asarray(pixels, np.uint8)).save(png, format="PNG")
-                    data = png.getvalue()
+                    img = _io.BytesIO()
+                    webp = texture_format == "webp"
+                    if webp:
+                        Image.fromarray(np.asarray(pixels, np.uint8)).save(
+                            img, format="WEBP", lossless=True)
+                    else:
+                        Image.fromarray(np.asarray(pixels, np.uint8)).save(
+                            img, format="PNG")
+                    data = img.getvalue()
                     off = len(buffers)
                     buffers.extend(data)
                     buffers.extend(b"\x00" * ((-len(data)) % 4))
@@ -225,10 +435,21 @@ def export_gltf(r: Registry, path) -> None:
                         {"buffer": 0, "byteOffset": off, "byteLength": len(data)})
                     gltf.setdefault("images", []).append(
                         {"bufferView": len(gltf["bufferViews"]) - 1,
-                         "mimeType": "image/png"})
+                         "mimeType": "image/webp" if webp else "image/png"})
                     gltf.setdefault("samplers", [{"wrapS": 10497, "wrapT": 10497}])
-                    gltf.setdefault("textures", []).append(
-                        {"source": len(gltf["images"]) - 1, "sampler": 0})
+                    img_index = len(gltf["images"]) - 1
+                    if webp:
+                        # No core fallback image is written, so the extension is
+                        # REQUIRED (EXT_texture_webp spec).
+                        tex_entry = {"sampler": 0, "extensions": {
+                            "EXT_texture_webp": {"source": img_index}}}
+                        _mark_used(gltf, "EXT_texture_webp")
+                        req = gltf.setdefault("extensionsRequired", [])
+                        if "EXT_texture_webp" not in req:
+                            req.append("EXT_texture_webp")
+                    else:
+                        tex_entry = {"source": img_index, "sampler": 0}
+                    gltf.setdefault("textures", []).append(tex_entry)
                     info = {"index": len(gltf["textures"]) - 1}
                     tr = np.asarray(getattr(vm, "uv_transform", (0, 0, 0, 1, 1)),
                                     np.float64).reshape(-1)
@@ -238,9 +459,7 @@ def export_gltf(r: Registry, path) -> None:
                             "rotation": float(tr[2]),
                             "scale": [float(tr[3]), float(tr[4])],
                         }}
-                        if "KHR_texture_transform" not in gltf.setdefault(
-                                "extensionsUsed", []):
-                            gltf["extensionsUsed"].append("KHR_texture_transform")
+                        _mark_used(gltf, "KHR_texture_transform")
                     return info
 
                 tex = np.asarray(getattr(vm, "texture", np.zeros((0, 0, 4), np.uint8)))
@@ -269,6 +488,32 @@ def export_gltf(r: Registry, path) -> None:
                     entry["name"] = mat.name
                 gltf["materials"].append(entry)
                 prim["material"] = len(gltf["materials"]) - 1
+            # KHR_materials_variants: document-level name list (union across
+            # entities) + per-primitive mappings referencing appended materials.
+            from ..scene.components import MaterialVariants
+
+            mv = r.get(e, MaterialVariants)
+            if mv is not None and mv.names and mv.mappings:
+                remap = {}
+                for i, nm in enumerate(mv.names):
+                    if nm not in variant_names:
+                        variant_names.append(nm)
+                    remap[i] = variant_names.index(nm)
+                out_mappings = []
+                for mapping in mv.mappings:
+                    mdict = _strip_texture_refs(mapping.get("material", {}))
+                    gltf["materials"].append(mdict)
+                    for xname in (mdict.get("extensions") or {}):
+                        _mark_used(gltf, xname)
+                    out_mappings.append({
+                        "material": len(gltf["materials"]) - 1,
+                        "variants": sorted(remap[i]
+                                           for i in mapping.get("variants", [])
+                                           if i in remap),
+                    })
+                prim.setdefault("extensions", {})["KHR_materials_variants"] = {
+                    "mappings": out_mappings}
+                _mark_used(gltf, "KHR_materials_variants")
             mesh_entry: dict = {"primitives": [prim]}
             if mesh.morph_weights.shape[0]:
                 mesh_entry["weights"] = [float(w) for w in mesh.morph_weights]
@@ -321,6 +566,12 @@ def export_gltf(r: Registry, path) -> None:
                 audio_ext["modalModels"].append(_export_modal_model(
                     gltf, buffers, modes, mass, mat_idx, node.get("name", "")
                 ))
+        # KHR_node_visibility: only non-default (hidden) nodes carry the block.
+        vis = r.get(e, VisibilityComponent)
+        if vis is not None and not vis.visible:
+            node.setdefault("extensions", {})["KHR_node_visibility"] = {
+                "visible": False}
+            _mark_used(gltf, "KHR_node_visibility")
         # KHR_physics_rigid_bodies + KHR_implicit_shapes: collider shape + motion
         # (reference export shape, GltfScene.cpp:4150-4180).
         # KHR_lights_punctual: document-level light list + node reference.
@@ -461,9 +712,16 @@ def export_gltf(r: Registry, path) -> None:
     if punctual_lights:
         doc_ext["KHR_lights_punctual"] = {"lights": punctual_lights}
         used.append("KHR_lights_punctual")
+    if variant_names:
+        doc_ext["KHR_materials_variants"] = {
+            "variants": [{"name": n} for n in variant_names]}
+        used.append("KHR_materials_variants")
     if doc_ext:
         gltf["extensions"] = doc_ext
-        gltf["extensionsUsed"] = used
+    for name in used:  # merge — per-material/texture marks may already exist
+        _mark_used(gltf, name)
+    if not gltf.get("extensionsUsed"):
+        gltf.pop("extensionsUsed", None)
 
     blob = bytes(buffers)
     if path.suffix == ".glb":
@@ -737,6 +995,9 @@ def import_gltf(path, store_dir=None) -> Registry:
     audio_materials, audio_models = _import_audio_ext(gltf, buffers)
     implicit_shapes = ((gltf.get("extensions") or {}).get("KHR_implicit_shapes") or {}) \
         .get("shapes", [])
+    doc_variants = [v.get("name", f"variant{i}") for i, v in enumerate(
+        ((gltf.get("extensions") or {}).get("KHR_materials_variants") or {})
+        .get("variants", []))]
     node_entity: dict[int, int] = {}
     for ni, node in enumerate(gltf.get("nodes", [])):
         e = r.create()
@@ -792,10 +1053,14 @@ def import_gltf(path, store_dir=None) -> Registry:
                                                  tt.get("rotation", 0.0), sc[0], sc[1]])
                     try:
                         tex_entry = gltf.get("textures", [])[info["index"]]
-                        src = tex_entry.get("source")
+                        tex_ext = tex_entry.get("extensions") or {}
+                        # Extension sources take priority (they carry the real
+                        # payload; core `source` is the fallback when present).
+                        src = (tex_ext.get("EXT_texture_webp") or {}).get("source")
                         if src is None:  # KHR_texture_basisu carries KTX2 sources
-                            src = ((tex_entry.get("extensions") or {})
-                                   .get("KHR_texture_basisu") or {}).get("source")
+                            src = (tex_ext.get("KHR_texture_basisu") or {}).get("source")
+                        if src is None:
+                            src = tex_entry.get("source")
                         if src is not None:
                             return _read_image(gltf, buffers, path, src)
                     except Exception as exc:  # undecodable payloads degrade gracefully
@@ -810,7 +1075,7 @@ def import_gltf(path, store_dir=None) -> Registry:
                 normal_texture = _load_tex(m.get("normalTexture"), "normalTexture")
                 occlusion_texture = _load_tex(m.get("occlusionTexture"),
                                               "occlusionTexture")
-                r.emplace(e, VisualMaterial(
+                vm_kwargs = dict(
                     base_color=np.asarray(
                         pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0]), np.float64),
                     metallic=float(pbr.get("metallicFactor", 1.0)),
@@ -824,7 +1089,27 @@ def import_gltf(path, store_dir=None) -> Registry:
                     normal_texture=normal_texture,
                     occlusion_texture=occlusion_texture,
                     uv_transform=uv_transform,
-                ))
+                    alpha_mode=m.get("alphaMode", "OPAQUE"),
+                    alpha_cutoff=float(m.get("alphaCutoff", 0.5)),
+                )
+                _import_material_extensions(m, vm_kwargs)
+                r.emplace(e, VisualMaterial(**vm_kwargs))
+            pv = (prim.get("extensions") or {}).get("KHR_materials_variants")
+            if pv and doc_variants:
+                mappings = []
+                for mp in pv.get("mappings", []):
+                    mi = mp.get("material")
+                    if mi is None or not (0 <= mi < len(gltf.get("materials", []))):
+                        continue
+                    mappings.append({
+                        "variants": [int(v) for v in mp.get("variants", [])],
+                        "material": _strip_texture_refs(gltf["materials"][mi]),
+                    })
+                if mappings:
+                    from ..scene.components import MaterialVariants
+
+                    r.emplace(e, MaterialVariants(names=list(doc_variants),
+                                                  mappings=mappings))
         extras = node.get("extras", {})
         ac = extras.get("MESHEDITOR_TPU_acoustic")
         if ac:
@@ -859,6 +1144,55 @@ def import_gltf(path, store_dir=None) -> Registry:
                     inner_cone_angle=float(spot.get("innerConeAngle", 0.0)),
                     outer_cone_angle=float(spot.get("outerConeAngle", np.pi / 4)),
                 ))
+
+        vext = (node.get("extensions") or {}).get("KHR_node_visibility")
+        if vext is not None:
+            r.emplace(e, VisibilityComponent(visible=bool(vext.get("visible", True))))
+
+        # EXT_mesh_gpu_instancing: per-instance TRS attribute accessors. Imported as
+        # child entities carrying the mesh (the reference "imports into MeshEditor
+        # instances", README.md:93-119); the carrier node keeps no mesh of its own.
+        iext = (node.get("extensions") or {}).get("EXT_mesh_gpu_instancing")
+        if iext is not None and r.has(e, MeshSurface):
+            attrs = iext.get("attributes") or {}
+            tr_acc = attrs.get("TRANSLATION")
+            rot_acc = attrs.get("ROTATION")
+            sc_acc = attrs.get("SCALE")
+            counts = [gltf["accessors"][a]["count"]
+                      for a in (tr_acc, rot_acc, sc_acc) if a is not None]
+            n_inst = min(counts) if counts else 0
+            if n_inst:
+                t_arr = (_read_accessor(gltf, buffers, tr_acc).astype(np.float64)
+                         if tr_acc is not None else np.zeros((n_inst, 3)))
+                q_arr = (_read_accessor(gltf, buffers, rot_acc).astype(np.float64)
+                         if rot_acc is not None
+                         else np.tile([0.0, 0.0, 0.0, 1.0], (n_inst, 1)))
+                s_arr = (_read_accessor(gltf, buffers, sc_acc).astype(np.float64)
+                         if sc_acc is not None else np.ones((n_inst, 3)))
+                surf = r.get(e, MeshSurface)
+                mat_comp = r.get(e, VisualMaterial)
+                base_name = node.get("name", "")
+                for i in range(n_inst):
+                    ce = r.create()
+                    r.emplace(ce, Name(f"{base_name}.instance{i}"))
+                    r.emplace(ce, SceneNode(parent=e))
+                    x, y, z, w_ = q_arr[i]
+                    it = Transform()
+                    it.translation = t_arr[i].copy()
+                    it.rotation = np.asarray([w_, x, y, z], np.float64)
+                    it.scale = s_arr[i].copy()
+                    r.emplace(ce, it)
+                    r.emplace(ce, MeshSurface(
+                        positions=np.asarray(surf.positions).copy(),
+                        triangles=np.asarray(surf.triangles).copy(),
+                        morph_targets=np.asarray(surf.morph_targets).copy(),
+                        morph_weights=np.asarray(surf.morph_weights).copy(),
+                        uvs=np.asarray(surf.uvs).copy()))
+                    if mat_comp is not None:
+                        import copy as _copy
+
+                        r.emplace(ce, _copy.deepcopy(mat_comp))
+                r.remove(e, MeshSurface)
 
         pext = (node.get("extensions") or {}).get("KHR_physics_rigid_bodies")
         if pext is not None:

@@ -71,6 +71,32 @@ def _light_world_dir(r, e) -> np.ndarray:
     return d / n if n > 1e-12 else np.array([0.0, -1.0, 0.0])
 
 
+def _visible(r, e, memo) -> bool:
+    """Effective KHR_node_visibility: a node is drawn only if itself and every
+    ancestor is visible (the extension's inheriting semantics)."""
+    from ..scene.components import SceneNode, VisibilityComponent
+
+    seen = set()
+    chain = []
+    cur = e
+    while cur and cur not in seen:
+        if cur in memo:
+            break
+        seen.add(cur)
+        chain.append(cur)
+        v = r.get(cur, VisibilityComponent)
+        if v is not None and not v.visible:
+            for c in chain:
+                memo[c] = False
+            return False
+        sn = r.get(cur, SceneNode)
+        cur = sn.parent if sn else 0
+    base = memo.get(cur, True)
+    for c in chain:
+        memo[c] = base
+    return base
+
+
 def flatten_scene(r) -> SceneBatch:
     """Registry -> draw batch. Requires world transforms to be derived (r.process())."""
     from ..scene.components import (
@@ -78,14 +104,19 @@ def flatten_scene(r) -> SceneBatch:
     )
     from .shading import LIGHT_DIRECTIONAL, LIGHT_POINT, LIGHT_SPOT
 
+    vis_memo: dict = {}
+
     pos_parts, nrm_parts, tri_parts, obj_parts, entities = [], [], [], [], []
     base_colors, metallics, roughnesses, emissives, uv_transforms = [], [], [], [], []
+    f0_rows, ext_rows, sheen_rows = [], [], []
     uv_parts, tan_parts = [], []
     textures, mr_texs, em_texs, nrm_texs, occ_texs = [], [], [], [], []
     offset = 0
     from ..scene.armature import DeformedSurface
 
     for e, surf in sorted(r.view(MeshSurface), key=lambda kv: kv[0]):
+        if not _visible(r, e, vis_memo):
+            continue
         deformed = r.get(e, DeformedSurface)
         if deformed is not None and deformed.positions.shape[0] == surf.positions.shape[0]:
             p = np.asarray(deformed.positions, np.float64)
@@ -120,7 +151,26 @@ def flatten_scene(r) -> SceneBatch:
         base_colors.append(np.asarray(mat.base_color, np.float32).reshape(4))
         metallics.append(float(mat.metallic))
         roughnesses.append(float(mat.roughness))
-        emissives.append(np.asarray(mat.emissive, np.float32).reshape(3))
+        # KHR_materials_emissive_strength folds into the emissive factor here — the
+        # shader never sees it separately.
+        emissives.append(np.asarray(mat.emissive, np.float32).reshape(3)
+                         * np.float32(getattr(mat, "emissive_strength", 1.0)))
+        # KHR_materials_{ior,specular,unlit,clearcoat,sheen,transmission} rows.
+        ior = float(getattr(mat, "ior", 1.5))
+        f0s = ((ior - 1.0) / max(ior + 1.0, 1e-6)) ** 2
+        sc = np.asarray(getattr(mat, "specular_color", np.ones(3)), np.float32)
+        spec_f = float(getattr(mat, "specular", 1.0))
+        f0_rows.append(np.clip(f0s * sc * spec_f, 0.0, 1.0).reshape(3))
+        ext_rows.append(np.array([
+            1.0 if getattr(mat, "unlit", False) else 0.0,
+            float(getattr(mat, "clearcoat", 0.0)),
+            float(getattr(mat, "clearcoat_roughness", 0.0)),
+            float(getattr(mat, "sheen_roughness", 0.0)),
+            float(getattr(mat, "transmission", 0.0)),
+            spec_f,
+        ], np.float32))
+        sheen_rows.append(np.asarray(getattr(mat, "sheen_color", np.zeros(3)),
+                                     np.float32).reshape(3))
         tr = np.asarray(getattr(mat, "uv_transform", (0, 0, 0, 1, 1)), np.float32)
         uv_transforms.append(tr.reshape(5) if tr.size == 5 else
                              np.array([0, 0, 0, 1, 1], np.float32))
@@ -148,6 +198,8 @@ def flatten_scene(r) -> SceneBatch:
     for e, light in sorted(r.view(LightComponent), key=lambda kv: kv[0]):
         from ..scene.components import WorldTransform
 
+        if not _visible(r, e, vis_memo):
+            continue
         wt = r.get(e, WorldTransform)
         m = np.asarray(wt.matrix) if wt is not None else np.eye(4)
         kinds.append(kind_map.get(light.kind, LIGHT_DIRECTIONAL))
@@ -173,12 +225,23 @@ def flatten_scene(r) -> SceneBatch:
                     if normal_atlas is not None else None)
         tr_rows = np.stack(uv_transforms)
         identity_tr = np.allclose(tr_rows, np.array([0, 0, 0, 1, 1], np.float32))
+        # Extension rows only when some material departs from the defaults, so plain
+        # scenes trace the legacy shader (and the corpus goldens stay byte-exact).
+        f0_arr = np.stack(f0_rows)
+        ext_arr = np.stack(ext_rows)
+        sheen_arr = np.stack(sheen_rows)
+        default_ext = (np.allclose(ext_arr, np.array([0, 0, 0, 0, 0, 1], np.float32))
+                       and np.allclose(f0_arr, 0.04, atol=1e-6)
+                       and not sheen_arr.any())
         materials = MaterialTable(
             base_color=jnp.asarray(np.stack(base_colors)),
             metallic=jnp.asarray(np.asarray(metallics, np.float32)),
             roughness=jnp.asarray(np.asarray(roughnesses, np.float32)),
             emissive=jnp.asarray(np.stack(emissives)),
             uv_transform=None if identity_tr else jnp.asarray(tr_rows),
+            f0_color=None if default_ext else jnp.asarray(f0_arr),
+            ext=None if default_ext else jnp.asarray(ext_arr),
+            sheen_color=None if default_ext else jnp.asarray(sheen_arr),
         )
     else:
         positions = np.zeros((0, 3), np.float32)
@@ -274,6 +337,9 @@ class SceneRenderer:
         from .. import profile
 
         s = self.settings
+        if self._tris.size == 0:  # fully hidden/empty scene: background only
+            return np.tile(np.asarray(s.background, np.float64),
+                           (s.height, s.width, 1))
         with profile.scope("render/shade"):
             img = shade(
                 self.gbuf, self._positions, self._normals,
@@ -305,6 +371,8 @@ class SceneRenderer:
 
     def pick_entity(self, x: int, y: int) -> int:
         """Entity under the pixel; -1 on background (ObjectPick.comp analog)."""
+        if self._tris.size == 0:
+            return -1
         rx, ry = self._to_render_px(x, y)
         row = pick_object(self.gbuf, self._tri_obj, rx, ry)
         return self.batch.entities[row] if row >= 0 else -1

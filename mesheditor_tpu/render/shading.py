@@ -22,15 +22,26 @@ LIGHT_SPOT = 2
 
 
 class MaterialTable(NamedTuple):
-    """Per-object material factors (glTF pbrMetallicRoughness)."""
+    """Per-object material factors (glTF pbrMetallicRoughness).
+
+    The optional extension rows carry the shaded KHR_materials_* subset (the
+    reference shades the full set through its glTF-Sample-Renderer-derived BRDF,
+    /root/reference/README.md:85-119). All-None extension rows keep the legacy
+    shader path byte-identical (the committed render-corpus goldens)."""
 
     base_color: jax.Array  # (O, 4) linear rgba
     metallic: jax.Array    # (O,)
     roughness: jax.Array   # (O,)
-    emissive: jax.Array    # (O, 3)
+    emissive: jax.Array    # (O, 3) — emissive_strength pre-multiplied at build
     # KHR_texture_transform rows [off_u, off_v, rot, scale_u, scale_v]; identity rows
     # leave UVs untouched, so untransformed materials cost nothing extra.
     uv_transform: jax.Array = None  # (O, 5) or None
+    # Dielectric F0 rgb = ((ior-1)/(ior+1))^2 * specularColor * specular, clipped to
+    # [0, 1] (KHR_materials_ior + KHR_materials_specular). None = the 0.04 default.
+    f0_color: jax.Array = None  # (O, 3) or None
+    # [unlit, clearcoat, clearcoat_roughness, sheen_roughness, transmission, specular]
+    ext: jax.Array = None  # (O, 6) or None
+    sheen_color: jax.Array = None  # (O, 3) or None
 
     @staticmethod
     def default(n: int, base_color=(0.48, 0.65, 0.76, 1.0), metallic=0.2, roughness=0.7):
@@ -124,8 +135,15 @@ def _normalize(v, axis=-1):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
 
 
-def _ggx_brdf(n, v, l, albedo, metallic, roughness):
-    """Cook-Torrance GGX specular + Lambert diffuse, Smith height-correlated."""
+def _ggx_brdf(n, v, l, albedo, metallic, roughness, f0_diel=None, f90=None,
+              cc=None, cc_rough=None, sheen_col=None, sheen_rough=None,
+              diffuse_scale=None):
+    """Cook-Torrance GGX specular + Lambert diffuse, Smith height-correlated.
+
+    Extension lobes (all optional, traced away when None — the reference's
+    specialization-constant feature mask, README.md:87): dielectric F0 override
+    (ior/specular), clearcoat second GGX lobe at fixed 0.04 F0, Charlie sheen,
+    and a diffuse attenuation (transmission removes diffuse energy)."""
     h = _normalize(v + l)
     ndl = jnp.maximum(jnp.sum(n * l, -1), 0.0)
     ndv = jnp.maximum(jnp.sum(n * v, -1), 1e-4)
@@ -136,11 +154,35 @@ def _ggx_brdf(n, v, l, albedo, metallic, roughness):
     d = a2 / jnp.maximum(jnp.pi * ((ndh * ndh) * (a2 - 1.0) + 1.0) ** 2, 1e-9)
     k = (roughness + 1.0) ** 2 / 8.0
     g = (ndv / (ndv * (1 - k) + k)) * (ndl / jnp.maximum(ndl * (1 - k) + k, 1e-9))
-    f0 = 0.04 * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
-    f = f0 + (1.0 - f0) * (1.0 - vdh[..., None]) ** 5
+    diel = 0.04 if f0_diel is None else f0_diel
+    f0 = diel * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
+    f90v = 1.0 if f90 is None else f90[..., None]
+    f = f0 + (f90v - f0) * (1.0 - vdh[..., None]) ** 5
     spec = d[..., None] * g[..., None] * f / jnp.maximum(4.0 * ndv * ndl, 1e-9)[..., None]
     kd = (1.0 - f) * (1.0 - metallic[..., None])
-    return (kd * albedo / jnp.pi + spec) * ndl[..., None]
+    if diffuse_scale is not None:
+        kd = kd * diffuse_scale[..., None]
+    out = (kd * albedo / jnp.pi + spec) * ndl[..., None]
+    if sheen_col is not None:
+        # Charlie NDF (glTF sheen), Ashikhmin visibility approximation.
+        sa = jnp.maximum(sheen_rough * sheen_rough, 1e-3)
+        inv_a = 1.0 / sa
+        sin2h = jnp.maximum(1.0 - ndh * ndh, 1e-6)
+        d_ch = (2.0 + inv_a) * jnp.power(sin2h, inv_a * 0.5) / (2.0 * jnp.pi)
+        vis = 1.0 / jnp.maximum(4.0 * (ndl + ndv - ndl * ndv), 1e-6)
+        out = out + sheen_col * (d_ch * vis * ndl)[..., None]
+    if cc is not None:
+        # Clearcoat: second GGX lobe, fixed 1.5-ior (0.04) F0, its own roughness;
+        # base layer attenuated by the coat's Fresnel (glTF layering rule).
+        ca = jnp.maximum(cc_rough * cc_rough, 1e-3)
+        ca2 = ca * ca
+        d_c = ca2 / jnp.maximum(jnp.pi * ((ndh * ndh) * (ca2 - 1.0) + 1.0) ** 2, 1e-9)
+        kc = (cc_rough + 1.0) ** 2 / 8.0
+        g_c = (ndv / (ndv * (1 - kc) + kc)) * (ndl / jnp.maximum(ndl * (1 - kc) + kc, 1e-9))
+        f_c = 0.04 + 0.96 * (1.0 - vdh) ** 5
+        spec_c = d_c * g_c * f_c / jnp.maximum(4.0 * ndv * ndl, 1e-9)
+        out = out * (1.0 - (cc * f_c)[..., None]) + (cc * spec_c * ndl)[..., None]
+    return out
 
 
 def _sample_atlas(atlas, rect, obj, uv):
@@ -237,6 +279,24 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
         oc_c, oc_flag = _sample_atlas(occ_tex.atlas, occ_tex.rect, obj, uv)
         occlusion = jnp.where(oc_flag > 0, oc_c[..., 0], 1.0)[..., None]
 
+    # KHR_materials_* per-pixel rows (None when every material is default — the
+    # legacy path stays byte-identical for the committed corpus goldens).
+    f0_diel = f90 = cc = cc_rough = sheen_col = sheen_rough = None
+    transmission = unlit_mask = diffuse_scale = None
+    if materials.ext is not None:
+        extm = materials.ext[obj]  # (H, W, 6)
+        unlit_mask = extm[..., 0]
+        cc = extm[..., 1]
+        cc_rough = extm[..., 2]
+        sheen_rough = extm[..., 3]
+        transmission = extm[..., 4]
+        f90 = extm[..., 5]  # specularFactor scales the grazing reflectance too
+        diffuse_scale = 1.0 - transmission
+        if materials.f0_color is not None:
+            f0_diel = materials.f0_color[obj]
+        if materials.sheen_color is not None:
+            sheen_col = materials.sheen_color[obj]
+
     # Hemisphere environment term (the IBL-lite analog of the reference's prefiltered
     # environment lighting, src/render/IblPrefilterPipelines.h): sky/ground colors
     # blended by the normal's up-ness, replacing the flat ambient when enabled.
@@ -259,20 +319,44 @@ def _shade_impl(gbuf, positions, normals, tris, tri_obj, materials, lights, extr
         outer, inner = lights.cone_cos[i, 0], lights.cone_cos[i, 1]
         spot = jnp.clip((cd - outer) / jnp.maximum(inner - outer, 1e-6), 0.0, 1.0)
         atten = jnp.where(kind == LIGHT_SPOT, atten * spot * spot, atten)
-        contrib = _ggx_brdf(n, view, l, albedo, metallic, roughness)
+        contrib = _ggx_brdf(n, view, l, albedo, metallic, roughness,
+                            f0_diel=f0_diel, f90=f90, cc=cc, cc_rough=cc_rough,
+                            sheen_col=sheen_col, sheen_rough=sheen_rough,
+                            diffuse_scale=diffuse_scale)
         return color + contrib * (lcol[None, None, :] * atten[..., None]), None
 
     # Occlusion (glTF occlusionTexture R) darkens only the indirect terms.
-    color = emissive + (ambient[None, None, :] + hemi) * albedo * occlusion
+    indirect_diffuse = (ambient[None, None, :] + hemi) * albedo * occlusion
+    if diffuse_scale is not None:
+        indirect_diffuse = indirect_diffuse * diffuse_scale[..., None]
+    color = emissive + indirect_diffuse
     if env is not None:
         from .environment import shade_ibl
 
         color = color + shade_ibl(env, n, view, albedo, metallic, roughness) * occlusion
     color, _ = jax.lax.scan(add_light, color, jnp.arange(lights.kind.shape[0]))
 
+    if transmission is not None:
+        # KHR_materials_transmission, IBL/background form (the reference's "real
+        # transmission off" mode samples the environment, README.md:93-119): the
+        # transmitted fraction tints what lies behind by baseColor. Refraction and
+        # volume absorption are not modeled.
+        if env is not None:
+            from .environment import sample_equirect
+
+            behind = sample_equirect(env.specular[0], -view)  # sharpest level
+        else:
+            behind = background[None, None, :] * jnp.ones_like(albedo)
+        color = color + (transmission[..., None]) * albedo * behind
+
     # Reinhard tone map + gamma 2.2 (deterministic, no exposure adaptation).
     color = color / (1.0 + color)
     color = jnp.power(jnp.maximum(color, 0.0), 1.0 / 2.2)
+    if unlit_mask is not None:
+        # KHR_materials_unlit: baseColor shown as authored — no lighting, no tone map
+        # (only the display gamma).
+        flat_col = jnp.power(jnp.maximum(albedo, 0.0), 1.0 / 2.2)
+        color = jnp.where(unlit_mask[..., None] > 0.5, flat_col, color)
 
     if wireframe or wire_only:
         edge = jnp.min(bary, axis=-1) < wire_eps

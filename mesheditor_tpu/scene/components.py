@@ -164,6 +164,34 @@ class VisualMaterial:
     # KHR_texture_transform on TEXCOORD_0, applied to every texture of this material:
     # [offset_u, offset_v, rotation_rad, scale_u, scale_v].
     uv_transform: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0, 1.0]))
+    # --- KHR_materials_* extension factors (reference supports the full set,
+    # /root/reference/README.md:93-119; shaded subset mirrors the reference's
+    # glTF-Sample-Renderer BRDF terms, the rest roundtrips losslessly) ---
+    emissive_strength: float = 1.0      # KHR_materials_emissive_strength
+    unlit: bool = False                 # KHR_materials_unlit
+    ior: float = 1.5                    # KHR_materials_ior
+    specular: float = 1.0               # KHR_materials_specular specularFactor
+    specular_color: np.ndarray = field(default_factory=lambda: np.ones(3))
+    clearcoat: float = 0.0              # KHR_materials_clearcoat
+    clearcoat_roughness: float = 0.0
+    sheen_color: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    sheen_roughness: float = 0.0        # KHR_materials_sheen
+    transmission: float = 0.0           # KHR_materials_transmission
+    diffuse_transmission: float = 0.0   # KHR_materials_diffuse_transmission
+    diffuse_transmission_color: np.ndarray = field(default_factory=lambda: np.ones(3))
+    thickness: float = 0.0              # KHR_materials_volume
+    attenuation_distance: float = 0.0   # 0 = unbounded (the spec's +inf default)
+    attenuation_color: np.ndarray = field(default_factory=lambda: np.ones(3))
+    dispersion: float = 0.0             # KHR_materials_dispersion
+    anisotropy_strength: float = 0.0    # KHR_materials_anisotropy
+    anisotropy_rotation: float = 0.0
+    iridescence: float = 0.0            # KHR_materials_iridescence
+    iridescence_ior: float = 1.3
+    iridescence_thickness_min: float = 100.0
+    iridescence_thickness_max: float = 400.0
+    # Core-glTF alpha coverage (roundtrip; the deferred G-buffer keeps opaque depth).
+    alpha_mode: str = "OPAQUE"          # OPAQUE | MASK | BLEND
+    alpha_cutoff: float = 0.5
 
 
 @dataclass
@@ -178,6 +206,28 @@ class LightComponent:
     range: float = 0.0  # 0 = unlimited
     inner_cone_angle: float = 0.0
     outer_cone_angle: float = np.pi / 4
+
+
+@dataclass
+class MaterialVariants:
+    """KHR_materials_variants payload: the document's variant name list plus this
+    primitive's mappings, each a JSON-safe glTF material dict (factors + material
+    extensions; texture references are document-local and do not travel). Switch with
+    io.gltf.apply_variant(registry, name) — it rewrites the active VisualMaterial's
+    factor fields in place (reference supports the extension, README.md:93-119)."""
+
+    names: list = field(default_factory=list)
+    # [{"variants": [index...], "material": {<glTF material JSON, factors only>}}]
+    mappings: list = field(default_factory=list)
+
+
+@dataclass
+class VisibilityComponent:
+    """KHR_node_visibility payload (the reference loads/roundtrips it,
+    README.md:93-119). Visibility INHERITS: a hidden parent hides the subtree — same
+    caveat as the reference ("parent invisible, children visible" is inexpressible)."""
+
+    visible: bool = True
 
 
 @dataclass
@@ -201,6 +251,8 @@ PERSISTENT_COMPONENTS = (
     RigidBodyComponent,
     VisualMaterial,
     LightComponent,
+    VisibilityComponent,
+    MaterialVariants,
 )
 DERIVED_COMPONENTS = (WorldTransform, ExciteState)
 

@@ -30,11 +30,23 @@ residuals), repaid by an order-of-magnitude stronger spectral equivalence.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import partial, wraps
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _precise(fn):
+    """Trace `fn` under full-f32 matmul precision (TPU DEFAULT dots are bf16-class;
+    see the precision note in solve/lobpcg.py)."""
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 @dataclass(frozen=True)
@@ -53,7 +65,7 @@ class AmgPrecond:
 
     agg6: jax.Array  # (n_nodes, 6) int32 — coarse dof ids (aggregate*6 + component)
     w: jax.Array  # (n_nodes, 3, 6) f32 — node blocks of the rigid-body prolongator
-    ac_inv: jax.Array  # (nc, nc) f64 — inverse coarse operator
+    ac_inv: jax.Array  # (nc, nc) f32 — inverse coarse operator (see apply)
     inv_diag: jax.Array  # (n_dofs,) f32 — Jacobi of the shifted pencil
     rigid: jax.Array  # (n_dofs, 6*ncomp) f32 — M-orthonormal global rigid modes
     m_rigid: jax.Array  # (n_dofs, 6*ncomp) f32 — M @ rigid
@@ -88,7 +100,18 @@ class AmgPrecond:
             self.agg6.reshape(-1),
             num_segments=self.nagg * 6,
         )
-        xc = (self.ac_inv @ rc.astype(jnp.float64)).astype(r.dtype)
+        # The coarse APPLY runs f32. Safe because the inverse is of the RIGID-LIFTED
+        # coarse operator (build_amg adds tau * L L^T along the coarse rigid-response
+        # span before inverting): without the lift, ac_inv's entries are dominated by
+        # the 1/(|sigma|*mass) rigid response, ~1e9x the elastic response, so an f32
+        # CAST of the inverse erases the elastic correction entirely — measured as the
+        # outer iteration collapsing to ~0.95/iteration (Jacobi-grade) on a CDT
+        # icosphere. With the lift, every entry of ac_inv lives within the elastic
+        # dynamic range and f32 carries it at eps32-relative accuracy. The f64 apply
+        # it replaces cost ~60-100 ms per inner PCG step on a v5e (emulated f64
+        # (nc, nc) @ (nc, p) every one of the 16 inner iterations) — the single
+        # largest term of the outer iteration.
+        xc = self.ac_inv @ rc
         e = jnp.einsum("nck,nkp->ncp", self.w, xc[self.agg6]).reshape(-1, p)
         e = e - self.rigid @ (self.m_rigid.T @ e)
         return om * self.inv_diag[:, None] * r + e
@@ -298,16 +321,24 @@ def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w64, agg6, sigma,
 
 
 @jax.jit
+@_precise
 def _coarse_invert(ac):
-    """f64 inverse of the regularized coarse operator via NEWTON-SCHULZ, not Cholesky.
+    """Inverse of the regularized coarse operator via NEWTON-SCHULZ, not Cholesky.
 
     Why: dense f64 Cholesky + triangular inverse on TPU are partially SEQUENTIAL
     algorithms — measured 108 s at 3840^2 through the device (each blocked step pays
     the f64 emulation tax serially). Newton-Schulz X <- X (2I - A X) is nothing but
-    f64 matmuls, which the MXU emulates efficiently in bulk; with symmetric diagonal
-    equilibration the iteration count is ~log2(cond) + a quadratic tail, fixed here at
-    a count that covers cond up to ~1e18. Dead coarse dofs (zero rows from degenerate
-    aggregates) get unit diagonals; live dofs a relative nudge for PD-ness."""
+    matmuls, which the MXU runs natively; with symmetric diagonal equilibration the
+    iteration count is ~log2(cond) + a quadratic tail.
+
+    Mixed precision: Newton-Schulz is SELF-CORRECTING (each step squares the residual
+    I - A X down to the working precision's floor), so the log2(cond) climb runs in
+    full-f32 (the solver stages trace under 'highest' matmul precision — true f32 MXU
+    passes, ~16x cheaper than emulated f64), and four f64 steps at the end square the
+    ~1e-6 f32 floor to eps64-grade. Measured: the all-f64 70-step loop cost ~8 s at
+    4092^2 on a v5e; this runs in well under a second. Dead coarse dofs (zero rows
+    from degenerate aggregates) get unit diagonals; live dofs a relative nudge for
+    PD-ness. Returned f32 (the apply runs f32, see AmgPrecond.apply)."""
     nc = ac.shape[0]
     ac = 0.5 * (ac + ac.T)
     diag = jnp.diagonal(ac)
@@ -321,16 +352,104 @@ def _coarse_invert(ac):
     a_s = ac * dinv_sqrt[:, None] * dinv_sqrt[None, :]
     # X0 = I / ||As||_F guarantees mu0 = lambda/||As||_F in (0, 1] for SPD As.
     nrm = jnp.sqrt(jnp.sum(a_s * a_s))
-    x = jnp.eye(nc, dtype=ac.dtype) / nrm
-    eye2 = 2.0 * jnp.eye(nc, dtype=ac.dtype)
+    a_s32 = a_s.astype(jnp.float32)
+    x32 = jnp.eye(nc, dtype=jnp.float32) / nrm.astype(jnp.float32)
+    eye2_32 = 2.0 * jnp.eye(nc, dtype=jnp.float32)
 
-    def body(_, x):
-        ax = a_s @ x
-        x = x @ (eye2 - ax)
+    def body32(_, x):
+        ax = a_s32 @ x
+        x = x @ (eye2_32 - ax)
         return 0.5 * (x + x.T)  # symmetrize: keeps the iterate SPD under roundoff
 
-    x = jax.lax.fori_loop(0, 70, body, x)
-    return x * dinv_sqrt[:, None] * dinv_sqrt[None, :]
+    x32 = jax.lax.fori_loop(0, 60, body32, x32)
+    x = x32.astype(ac.dtype)
+    eye2 = 2.0 * jnp.eye(nc, dtype=ac.dtype)
+
+    def body64(_, x):
+        ax = a_s @ x
+        x = x @ (eye2 - ax)
+        return 0.5 * (x + x.T)
+
+    x = jax.lax.fori_loop(0, 4, body64, x)
+    return (x * dinv_sqrt[:, None] * dinv_sqrt[None, :]).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("ncomp",))
+def _rigid_modes_device(coords, comp, ncomp: int):
+    """Per-component rigid-body modes built ON DEVICE as (n_dofs, 6*ncomp) f32.
+
+    The host-numpy construction + upload cost ~11 s through the axon tunnel (the
+    (n_dofs, 6c) f64 panel is ~6 MB at ~1 MB/s); the inputs here are the (n_nodes, 3)
+    coords and (n_nodes,) component labels — ~200 KB. Orphan nodes (comp < 0) get
+    zero rows, matching rigid_modes()."""
+    nn = coords.shape[0]
+    cols = []
+    for c in range(ncomp):
+        m = (comp == c).astype(jnp.float32)
+        cnt = jnp.maximum(m.sum(), 1.0)
+        ctr = (coords * m[:, None]).sum(0) / cnt
+        d = (coords - ctr) * m[:, None]
+        scale = jnp.maximum(jnp.max(jnp.abs(d)), 1e-30)
+        ds = d / scale
+        z = jnp.zeros(nn, jnp.float32)
+        cols += [
+            jnp.stack([m, z, z], 1), jnp.stack([z, m, z], 1), jnp.stack([z, z, m], 1),
+            jnp.stack([z, -ds[:, 2], ds[:, 1]], 1),
+            jnp.stack([ds[:, 2], z, -ds[:, 0]], 1),
+            jnp.stack([-ds[:, 1], ds[:, 0], z], 1),
+        ]
+    # (nn, 3, 6c) -> (3*nn, 6c): rows are dof-ordered (3*node + axis).
+    return jnp.stack(cols, 2).reshape(nn * 3, 6 * ncomp)
+
+
+@jax.jit
+@_precise
+def _rigid_gram(ops, r):
+    """M r and the f64-accumulated 6c x 6c mass Gram of the raw rigid panel."""
+    mr = ops.mmat_f32(r)
+    return mr, jnp.einsum("nk,nj->kj", r, mr, preferred_element_type=jnp.float64)
+
+
+@jax.jit
+@_precise
+def _rigid_orthonormalize(r, mr, linv_t):
+    """Right-multiply by the inverse Cholesky factor: M-orthonormal columns. Full-f32
+    precision matters here — bf16-class products would leave ~1e-3 orthonormality
+    error, which the coarse-correction deflation would amplify."""
+    return r @ linv_t, mr @ linv_t
+
+
+@partial(jax.jit, static_argnames=("nagg",))
+@_precise
+def _restrict(w, agg6, nagg: int, x):
+    """P^T x — coarse-space coordinates of a fine (n_dofs, p) panel (the same
+    restriction the apply uses)."""
+    nn = w.shape[0]
+    p = x.shape[1]
+    xn = jnp.einsum("nck,ncp->nkp", w, x.reshape(nn, 3, p))
+    return jax.ops.segment_sum(xn.reshape(nn * 6, p), agg6.reshape(-1),
+                               num_segments=nagg * 6)
+
+
+@jax.jit
+@_precise
+def _lift_rigid(ac, l):
+    """Lift the coarse rigid-response span: Ac + tau * L_hat L_hat^T.
+
+    L = P^T M R (euclidean-normalized columns), tau = 1e-3 * max diag. The rigid
+    directions' coarse eigenvalues sit at |sigma|*mass, ~1e9-1e13 BELOW the elastic
+    top; inverting that range is (a) beyond what an f32 REPRESENTATION of the inverse
+    can carry (the elastic response drowns in the f32 mantissa of rigid-dominated
+    entries) and (b) beyond what an f32 Newton-Schulz phase can converge (cond ~1e11+
+    needs ~40 correct doublings). The fine-level deflation strips rigid components
+    from every input anyway, so the preconditioner is free to answer 1/tau instead of
+    1/(|sigma|*mass) on that span — after the lift the whole inverse lives inside the
+    elastic dynamic range and every downstream stage is f32-safe."""
+    l64 = l.astype(ac.dtype)
+    norms = jnp.maximum(jnp.linalg.norm(l64, axis=0, keepdims=True), 1e-30)
+    lh = l64 / norms
+    tau = 1e-3 * jnp.max(jnp.diagonal(ac))
+    return ac + tau * (lh @ lh.T)
 
 
 @partial(jax.jit, static_argnames=("seed_dim",))
@@ -391,6 +510,28 @@ def build_amg(
         )
         if profile.enabled:
             jax.block_until_ready(ac)
+
+    # Global per-component rigid modes, built and M-orthonormalized on device (only
+    # the tiny 6c x 6c Gram round-trips to host for its Cholesky). Built BEFORE the
+    # coarse inverse: the lift below needs the coarse rigid-response span.
+    with profile.scope("amg/components"):
+        comp, ncomp = _components(np.asarray(quad.element_nodes), n_nodes)
+    with profile.scope("amg/rigid_build"):
+        r_dev = _rigid_modes_device(
+            jnp.asarray(coords.astype(np.float32)),
+            jnp.asarray(comp.astype(np.int32)), int(max(ncomp, 1)))
+        mr, g_d = _rigid_gram(ops, r_dev)
+        g = np.asarray(g_d)
+    g = 0.5 * (g + g.T)
+    # f32 panels carry ~eps32-relative Gram error; the regularization floor sits above
+    # it so the Cholesky stays PD.
+    ell = np.linalg.cholesky(g + 1e-10 * np.trace(g) / g.shape[0] * np.eye(g.shape[0]))
+    linv_t = np.linalg.inv(ell).T
+    r_on, mr_on = _rigid_orthonormalize(r_dev, mr, jnp.asarray(linv_t, jnp.float32))
+
+    w32_d = w64_d.astype(jnp.float32)
+    with profile.scope("amg/lift"):
+        ac = _lift_rigid(ac, _restrict(w32_d, agg6_d, nagg, mr_on))
     if jax.default_backend() == "cpu":
         # LAPACK beats emulated-matmul Newton-Schulz on host; device arrays are free
         # to round-trip here (no tunnel).
@@ -400,29 +541,15 @@ def build_amg(
         ac_h = ac_h + np.diag(np.where(dg <= 0, max(dg.max(), 1e-300), 1e-12 * dg))
         inv_h = np.linalg.inv(ac_h)
         # PCG requires an exactly symmetric preconditioner; LAPACK's LU inverse is
-        # only symmetric to roundoff, so symmetrize.
-        ac_inv = jnp.asarray(0.5 * (inv_h + inv_h.T))
+        # only symmetric to roundoff, so symmetrize. f32 like the device branch (the
+        # apply contract — safe only because of the lift above).
+        ac_inv = jnp.asarray((0.5 * (inv_h + inv_h.T)).astype(np.float32))
     else:
         with profile.scope("amg/coarse_invert"):
             ac_inv = _coarse_invert(ac)
             if profile.enabled:
                 jax.block_until_ready(ac_inv)
     inv_diag = (1.0 / (k_diag - sigma * m_diag)).astype(jnp.float32)
-
-    # Global per-component rigid modes, M-orthonormalized on device (f64 pencil apply
-    # once; the 6c x 6c Gram factors on host).
-    with profile.scope("amg/components"):
-        comp, ncomp = _components(np.asarray(quad.element_nodes), n_nodes)
-    r_raw = rigid_modes(coords, comp, max(ncomp, 1), ops.n_dofs)
-    with profile.scope("amg/rigid_upload"):
-        r_dev = jnp.asarray(r_raw)
-        mr = ops.mmat(r_dev)
-        g = np.asarray(r_dev.T @ mr)
-    g = 0.5 * (g + g.T)
-    ell = np.linalg.cholesky(g + 1e-14 * np.trace(g) / g.shape[0] * np.eye(g.shape[0]))
-    linv_t = np.linalg.inv(ell).T
-    r_on = r_dev @ jnp.asarray(linv_t)
-    mr_on = mr @ jnp.asarray(linv_t)
 
     if not omega:
         from ..fem.assembly import bake_shifted_f32

@@ -127,7 +127,14 @@ class TestPreconditionerQuality:
         b2 = np.asarray(amg.apply(shifted.amat, r2))
         lhs = float(b1[:, 0] @ np.asarray(r2)[:, 0])
         rhs = float(np.asarray(r1)[:, 0] @ b2[:, 0])
-        assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), abs(rhs))
+        # The apply runs f32 end to end (the coarse matmul included — the f64 coarse
+        # apply cost ~60-100 ms per inner PCG step on a v5e and dominated the outer
+        # iteration). The rigid deflation then caps the coarse inverse's rigid-noise
+        # amplification at ~1e-3 relative of the output rather than eps32: symmetry
+        # holds to preconditioner grade, which is all the FIXED-iteration PCG wrapped
+        # around it uses (W is a search direction into Rayleigh-Ritz, not a solve).
+        scale = float(np.linalg.norm(b1) * np.linalg.norm(np.asarray(r2)))
+        assert abs(lhs - rhs) < 1e-3 * scale
 
     def test_coarse_term_deflated(self, bar_setup):
         """The cycle's output has no spurious rigid-mode energy beyond the Jacobi
