@@ -348,7 +348,26 @@ def export_gltf(r: Registry, path, texture_format: str = "png") -> None:
     buffers = bytearray()
     node_index: dict[int, int] = {}
     variant_names: list[str] = []
+    ibl_lights: list = []
     audio_ext = {"acousticMaterials": [], "modalModels": []}
+
+    def _embed_png(pixels_uint8) -> int:
+        """Embed an RGB(A) uint8 array as a PNG image; returns the image index."""
+        import io as _io
+
+        from PIL import Image
+
+        png = _io.BytesIO()
+        Image.fromarray(np.asarray(pixels_uint8, np.uint8)).save(png, format="PNG")
+        data = png.getvalue()
+        off = len(buffers)
+        buffers.extend(data)
+        buffers.extend(b"\x00" * ((-len(data)) % 4))
+        gltf.setdefault("bufferViews", []).append(
+            {"buffer": 0, "byteOffset": off, "byteLength": len(data)})
+        gltf.setdefault("images", []).append(
+            {"bufferView": len(gltf["bufferViews"]) - 1, "mimeType": "image/png"})
+        return len(gltf["images"]) - 1
     audio_material_index: dict[tuple, int] = {}
     implicit_shapes: list = []
     implicit_shape_index: dict[tuple, int] = {}
@@ -566,6 +585,39 @@ def export_gltf(r: Registry, path, texture_format: str = "png") -> None:
                 audio_ext["modalModels"].append(_export_modal_model(
                     gltf, buffers, modes, mass, mat_idx, node.get("name", "")
                 ))
+        # EXT_lights_image_based: equirect -> cubemap faces + SH9 irradiance (the
+        # extension's wire format; level-0 faces only — the consumer prefilters).
+        from ..scene.components import ImageBasedLightComponent
+
+        ibl = r.get(e, ImageBasedLightComponent)
+        if ibl is not None and np.asarray(ibl.equirect).size:
+            from ..render.environment import (
+                cube_faces_from_equirect, sh9_irradiance_coefficients,
+            )
+
+            env = np.asarray(ibl.equirect, np.float32)
+            size = max(8, min(128, env.shape[0] // 2 * 2))
+            faces = cube_faces_from_equirect(env, size)
+            srgb = np.clip(np.where(faces <= 0.0031308, faces * 12.92,
+                                    1.055 * np.maximum(faces, 1e-9) ** (1 / 2.4)
+                                    - 0.055), 0.0, 1.0)
+            face_ids = [_embed_png((srgb[f] * 255.0 + 0.5).astype(np.uint8))
+                        for f in range(6)]
+            w_, x_, y_, z_ = (float(v) for v in ibl.rotation)
+            ibl_entry = {
+                "intensity": float(ibl.intensity),
+                "rotation": [x_, y_, z_, w_],
+                "irradianceCoefficients": [
+                    [float(v) for v in row]
+                    for row in sh9_irradiance_coefficients(env)],
+                "specularImages": [face_ids],
+                "specularImageSize": size,
+            }
+            node.setdefault("extensions", {})["EXT_lights_image_based"] = {
+                "light": len(ibl_lights)}
+            ibl_lights.append(ibl_entry)
+            _mark_used(gltf, "EXT_lights_image_based")
+
         # KHR_node_visibility: only non-default (hidden) nodes carry the block.
         vis = r.get(e, VisibilityComponent)
         if vis is not None and not vis.visible:
@@ -716,6 +768,8 @@ def export_gltf(r: Registry, path, texture_format: str = "png") -> None:
         doc_ext["KHR_materials_variants"] = {
             "variants": [{"name": n} for n in variant_names]}
         used.append("KHR_materials_variants")
+    if ibl_lights:
+        doc_ext["EXT_lights_image_based"] = {"lights": ibl_lights}
     if doc_ext:
         gltf["extensions"] = doc_ext
     for name in used:  # merge — per-material/texture marks may already exist
@@ -1148,6 +1202,38 @@ def import_gltf(path, store_dir=None) -> Registry:
         vext = (node.get("extensions") or {}).get("KHR_node_visibility")
         if vext is not None:
             r.emplace(e, VisibilityComponent(visible=bool(vext.get("visible", True))))
+
+        iblref = (node.get("extensions") or {}).get("EXT_lights_image_based")
+        if iblref is not None:
+            doc_ibl = ((gltf.get("extensions") or {}).get("EXT_lights_image_based")
+                       or {}).get("lights", [])
+            li = iblref.get("light", -1)
+            if 0 <= li < len(doc_ibl):
+                from ..render.environment import (
+                    equirect_from_cube_faces, equirect_from_sh9,
+                )
+                from ..render.shading import srgb_to_linear
+                from ..scene.components import ImageBasedLightComponent
+
+                entry = doc_ibl[li]
+                spec = entry.get("specularImages") or []
+                equirect = np.zeros((0, 0, 3), np.float32)
+                if spec and len(spec[0]) == 6:
+                    faces = np.stack([
+                        srgb_to_linear(
+                            _read_image(gltf, buffers, path, fi)[..., :3]
+                            .astype(np.float32) / 255.0)
+                        for fi in spec[0]])
+                    equirect = equirect_from_cube_faces(faces, faces.shape[1])
+                elif entry.get("irradianceCoefficients"):
+                    equirect = equirect_from_sh9(
+                        np.asarray(entry["irradianceCoefficients"], np.float64))
+                x, y, z, w = entry.get("rotation", [0.0, 0.0, 0.0, 1.0])
+                r.emplace(e, ImageBasedLightComponent(
+                    equirect=equirect,
+                    intensity=float(entry.get("intensity", 1.0)),
+                    rotation=np.asarray([w, x, y, z], np.float64),
+                ))
 
         # EXT_mesh_gpu_instancing: per-instance TRS attribute accessors. Imported as
         # child entities carrying the mesh (the reference "imports into MeshEditor

@@ -176,3 +176,137 @@ def shade_ibl(env: PrefilteredEnv, n, view, albedo, metallic, roughness):
     fr = f0 + (jnp.maximum(1.0 - r[..., None], f0) - f0) * (1.0 - ndv) ** 5
     kd = (1.0 - fr) * (1.0 - metallic[..., None])
     return kd * albedo * irr + fr * spec_env
+
+
+# ---- cubemap <-> equirect converters + SH9 irradiance (EXT_lights_image_based) ----
+#
+# The wire format of EXT_lights_image_based is a cubemap mip pyramid + l=2 spherical-
+# harmonic irradiance (the reference imports it as the scene IBL, README.md:93-119);
+# this renderer's native environment is an equirect radiance map, so import/export
+# resample between the two. Host-side numpy: conversion happens once at IO time.
+
+_CUBE_FACE_AXES = (
+    # (forward, u_axis, v_axis) per GL cubemap face order +X -X +Y -Y +Z -Z;
+    # u, v span [-1, 1] left->right, top->bottom.
+    ((1, 0, 0), (0, 0, -1), (0, -1, 0)),
+    ((-1, 0, 0), (0, 0, 1), (0, -1, 0)),
+    ((0, 1, 0), (1, 0, 0), (0, 0, 1)),
+    ((0, -1, 0), (1, 0, 0), (0, 0, -1)),
+    ((0, 0, 1), (1, 0, 0), (0, -1, 0)),
+    ((0, 0, -1), (-1, 0, 0), (0, -1, 0)),
+)
+
+
+def _dirs_equirect_np(h, w):
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    theta = v * np.pi
+    phi = u * 2 * np.pi - np.pi
+    st, ct = np.sin(theta)[:, None], np.cos(theta)[:, None]
+    sp, cp = np.sin(phi)[None, :], np.cos(phi)[None, :]
+    return np.stack([st * sp, ct * np.ones_like(sp * st), st * cp], -1)
+
+
+def _sample_equirect_np(env, d):
+    """Nearest-texel equirect sample at unit directions d (..., 3), numpy."""
+    h, w = env.shape[0], env.shape[1]
+    theta = np.arccos(np.clip(d[..., 1], -1.0, 1.0))
+    phi = np.arctan2(d[..., 0], d[..., 2])
+    iy = np.clip((theta / np.pi * h).astype(np.int64), 0, h - 1)
+    ix = np.mod(((phi + np.pi) / (2 * np.pi) * w).astype(np.int64), w)
+    return env[iy, ix]
+
+
+def cube_faces_from_equirect(env, size: int, rotation=None) -> np.ndarray:
+    """(6, size, size, 3) float cubemap faces resampled from an equirect map.
+    `rotation` (wxyz quaternion) rotates the environment before sampling."""
+    env = np.asarray(env, np.float32)
+    s = (np.arange(size) + 0.5) / size * 2.0 - 1.0
+    uu, vv = np.meshgrid(s, s)  # vv top->bottom
+    faces = np.zeros((6, size, size, env.shape[-1]), np.float32)
+    rot = _quat_matrix(rotation) if rotation is not None else None
+    for f, (fw, ua, va) in enumerate(_CUBE_FACE_AXES):
+        d = (np.asarray(fw, np.float64)[None, None, :]
+             + uu[..., None] * np.asarray(ua, np.float64)
+             + vv[..., None] * np.asarray(va, np.float64))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        if rot is not None:
+            d = d @ rot.T
+        faces[f] = _sample_equirect_np(env, d)
+    return faces
+
+
+def equirect_from_cube_faces(faces, height: int, rotation=None) -> np.ndarray:
+    """(height, 2*height, 3) equirect map resampled from (6, S, S, 3) cube faces.
+    `rotation` (wxyz) is the environment's authored rotation (applied forward)."""
+    faces = np.asarray(faces, np.float32)
+    h, w = height, 2 * height
+    d = _dirs_equirect_np(h, w)
+    if rotation is not None:
+        d = d @ _quat_matrix(rotation)  # inverse-rotate the lookup
+    ax, ay, az = d[..., 0], d[..., 1], d[..., 2]
+    aax, aay, aaz = np.abs(ax), np.abs(ay), np.abs(az)
+    size = faces.shape[1]
+    out = np.zeros((h, w, faces.shape[-1]), np.float32)
+    # face selection by dominant axis
+    face_id = np.where(
+        (aax >= aay) & (aax >= aaz), np.where(ax > 0, 0, 1),
+        np.where(aay >= aaz, np.where(ay > 0, 2, 3), np.where(az > 0, 4, 5)))
+    for f, (fw, ua, va) in enumerate(_CUBE_FACE_AXES):
+        m = face_id == f
+        if not m.any():
+            continue
+        dm = d[m]
+        denom = dm @ np.asarray(fw, np.float64)
+        u = (dm @ np.asarray(ua, np.float64)) / denom
+        v = (dm @ np.asarray(va, np.float64)) / denom
+        iu = np.clip(((u + 1) * 0.5 * size).astype(np.int64), 0, size - 1)
+        iv = np.clip(((v + 1) * 0.5 * size).astype(np.int64), 0, size - 1)
+        out[m] = faces[f, iv, iu]
+    return out
+
+
+def _quat_matrix(q) -> np.ndarray:
+    w, x, y, z = (float(v) for v in q)
+    n = max(np.sqrt(w * w + x * x + y * y + z * z), 1e-30)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def sh9_irradiance_coefficients(env) -> np.ndarray:
+    """(9, 3) l<=2 spherical-harmonic projection of an equirect radiance map — the
+    irradianceCoefficients payload of EXT_lights_image_based."""
+    env = np.asarray(env, np.float64)
+    h, w = env.shape[0], env.shape[1]
+    d = _dirs_equirect_np(h, w)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    # solid angle per texel: sin(theta) dtheta dphi
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    domega = (np.sin(theta)[:, None] * (np.pi / h) * (2 * np.pi / w)
+              * np.ones((1, w)))
+    y00 = 0.282095 * np.ones_like(x)
+    basis = np.stack([
+        y00, 0.488603 * y, 0.488603 * z, 0.488603 * x,
+        1.092548 * x * y, 1.092548 * y * z, 0.315392 * (3 * z * z - 1),
+        1.092548 * x * z, 0.546274 * (x * x - y * y),
+    ], axis=-1)  # (h, w, 9)
+    return np.einsum("hwn,hwc,hw->nc", basis, env[..., :3], domega)
+
+
+def equirect_from_sh9(coeffs, height: int = 16) -> np.ndarray:
+    """Low-frequency equirect reconstruction from SH9 coefficients (fallback when a
+    document carries irradianceCoefficients but no specular images)."""
+    coeffs = np.asarray(coeffs, np.float64).reshape(9, -1)
+    h, w = height, 2 * height
+    d = _dirs_equirect_np(h, w)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    basis = np.stack([
+        0.282095 * np.ones_like(x), 0.488603 * y, 0.488603 * z, 0.488603 * x,
+        1.092548 * x * y, 1.092548 * y * z, 0.315392 * (3 * z * z - 1),
+        1.092548 * x * z, 0.546274 * (x * x - y * y),
+    ], axis=-1)
+    return np.maximum(basis @ coeffs, 0.0).astype(np.float32)

@@ -411,10 +411,33 @@ class SceneRenderer:
 
 def render_scene(r, camera: Camera | None = None,
                  settings: RenderSettings | None = None) -> SceneRenderer:
-    """Derive transforms, flatten, rasterize. Returns the renderer (image + picking)."""
+    """Derive transforms, flatten, rasterize. Returns the renderer (image + picking).
+
+    A scene-level EXT_lights_image_based environment (ImageBasedLightComponent)
+    becomes the render environment when the settings don't already set one —
+    the reference's "imported as Scene IBL" behavior (README.md:93-119)."""
     r.process()
     batch = flatten_scene(r)
     settings = settings or RenderSettings()
+    if settings.environment is None:
+        from ..scene.components import ImageBasedLightComponent
+
+        for _, ibl in sorted(r.view(ImageBasedLightComponent), key=lambda kv: kv[0]):
+            env = np.asarray(ibl.equirect, np.float32)
+            if env.size:
+                from dataclasses import replace as _replace
+
+                if not np.allclose(ibl.rotation, (1.0, 0.0, 0.0, 0.0)):
+                    from .environment import (
+                        cube_faces_from_equirect, equirect_from_cube_faces,
+                    )
+
+                    faces = cube_faces_from_equirect(env, max(env.shape[0] // 2, 8),
+                                                     rotation=ibl.rotation)
+                    env = equirect_from_cube_faces(faces, env.shape[0])
+                settings = _replace(settings,
+                                    environment=env * np.float32(ibl.intensity))
+                break
     if camera is None:
         camera = frame_points(batch.positions)
     return SceneRenderer(batch, camera, settings)

@@ -209,6 +209,18 @@ class LightComponent:
 
 
 @dataclass
+class ImageBasedLightComponent:
+    """EXT_lights_image_based payload: the scene's image-based environment light
+    (the reference imports it as Scene IBL, README.md:93-119). Stored natively as an
+    equirect LINEAR radiance map; glTF IO resamples to/from the extension's cubemap +
+    SH9 wire format (render/environment.py converters)."""
+
+    equirect: np.ndarray = field(default_factory=lambda: np.zeros((0, 0, 3), np.float32))
+    intensity: float = 1.0
+    rotation: np.ndarray = field(default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0]))
+
+
+@dataclass
 class MaterialVariants:
     """KHR_materials_variants payload: the document's variant name list plus this
     primitive's mappings, each a JSON-safe glTF material dict (factors + material
@@ -253,6 +265,7 @@ PERSISTENT_COMPONENTS = (
     LightComponent,
     VisibilityComponent,
     MaterialVariants,
+    ImageBasedLightComponent,
 )
 DERIVED_COMPONENTS = (WorldTransform, ExciteState)
 

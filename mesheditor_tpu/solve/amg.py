@@ -18,9 +18,13 @@ milliseconds), and the V-cycle application is three fused device ops: damped-Jac
 smoothing, a gather/segment-sum restriction, and one dense coarse matmul.
 
 Precision: the coarse pencil spans |sigma|*mass .. element-stiffness — ~1e11 dynamic
-range — so its factorization runs f64 (small and one-time; f32 Cholesky noise
-eps32*||Ac|| would be larger than the entire rigid-body end, which is the very part the
-coarse grid exists to correct). The smoother and transfer operators stay f32.
+range — which no f32 stage can carry directly. The resolution is the RIGID LIFT
+(_lift_rigid): the rigid span is M-deflated at the fine level anyway, so the coarse
+operator gets tau * Q Q^T added along its exact kernel coordinates before inversion,
+compressing the dynamic range to the elastic band (~1e5). After the lift EVERYTHING
+runs f32 — Galerkin assembly, the Newton-Schulz inverse's climb (with a short f64
+tail), the stored inverse, and the per-inner-iteration coarse apply — worth ~7 s of
+emulated-f64 time per solve on a v5e.
 
 The V-cycle serves as the preconditioner inside the same blocked PCG the solver already
 runs (lobpcg._pcg_block); each application costs two extra A-panels (the pre/post-smooth
@@ -287,37 +291,51 @@ def _rigid_weights(coords: np.ndarray, agg: np.ndarray, nagg: int):
     return w
 
 
-# Elements per coarse-assembly scan step: bounds the (chunk, 10, 6, 10, 6) f64
-# temporary to ~60 MB.
+# Elements per coarse-assembly scan step: bounds the (chunk, 10, 6, 10, 6)
+# temporary to ~30 MB.
 _AC_CHUNK = 2048
 
 
 @partial(jax.jit, static_argnames=("nagg",))
-def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w64, agg6, sigma, nagg):
-    """Galerkin coarse operator Ac = P^T (K - sigma*M) P from f64 element blocks,
-    scanned in chunks on device."""
+@_precise
+def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, sigma, nagg):
+    """Galerkin coarse operator Ac = P^T (K - sigma*M) P, scanned in chunks on device.
+
+    Runs in FULL-f32 (inputs cast, f64 result): the measured f64 version cost ~6.3 s
+    per solve on a v5e (emulated-f64 batched einsum + a 35M-element f64 scatter),
+    while f32 is ~milliseconds. Precision budget: per-entry Galerkin noise is
+    ~30*eps32*||A_e|| ~ 1e-6 relative to the coarse diagonal scale. The two places
+    that used to demand f64 are covered elsewhere — the rigid block (true values
+    ~1e-10 relative, pure cancellation in any precision) is LIFTED to 1e-3 of the
+    diagonal before inversion (_lift_rigid), and the softest genuine elastic
+    directions (~1e-5 of the top) see at most ~1e-1 relative perturbation, which
+    only shifts PRECONDITIONER quality, not solver correctness."""
+    f32 = jnp.float32
     nc = nagg * 6
     e_total = k_blocks.shape[0]
     pad = (-e_total) % _AC_CHUNK
-    ab = k_blocks - sigma * (rho_vol[:, None, None] * m_unit[None])
+    ab = (k_blocks.astype(f32)
+          - sigma.astype(f32) * (rho_vol.astype(f32)[:, None, None]
+                                 * m_unit.astype(f32)[None]))
     ab = jnp.pad(ab, ((0, pad), (0, 0), (0, 0)))
     en = jnp.pad(element_nodes, ((0, pad), (0, 0)))
     # Padded elements scatter zeros (their blocks are zero) — node ids 0 are fine.
     nsteps = ab.shape[0] // _AC_CHUNK
     ab = ab.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
     en = en.reshape(nsteps, _AC_CHUNK, 10)
+    w32 = w.astype(f32)
 
     def step(ac, chunk):
         blocks, nodes = chunk
-        wn = w64[nodes]  # (C, 10, 3, 6)
+        wn = w32[nodes]  # (C, 10, 3, 6)
         t = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, blocks, wn)
         ii = agg6[nodes][:, :, :, None, None]  # (C, 10, 6, 1, 1)
         jj = agg6[nodes][:, None, None, :, :]  # (C, 1, 1, 10, 6)
         return ac.at[ii, jj].add(t), None
 
-    ac0 = jnp.zeros((nc, nc), jnp.float64)
+    ac0 = jnp.zeros((nc, nc), f32)
     ac, _ = jax.lax.scan(step, ac0, (ab, en))
-    return ac
+    return ac.astype(jnp.float64)
 
 
 @jax.jit
@@ -342,8 +360,14 @@ def _coarse_invert(ac):
     nc = ac.shape[0]
     ac = 0.5 * (ac + ac.T)
     diag = jnp.diagonal(ac)
-    dead = diag <= 0
     scale = jnp.maximum(jnp.max(diag), 1e-300)
+    # Dead threshold is MATRIX-relative, not entry-relative: the non-orthonormal
+    # aggregate prolongator produces near-zero columns (a two-node aggregate's
+    # rotation about its own axis is f32 noise) whose diag is ~1e-12 of the top —
+    # an entry-relative nudge leaves them as ~1e-12-relative eigenvalues that blow
+    # up the f32 Newton-Schulz phase (and LAPACK's inverse on the host branch).
+    # Parking their diagonal at the matrix scale removes them from the coarse space.
+    dead = diag <= 1e-9 * scale
     ac = ac + jnp.diag(jnp.where(dead, scale, 1e-12 * diag))
     # Symmetric equilibration: As = D^-1/2 A D^-1/2 has unit diagonal; its condition
     # is within a factor nc of the best diagonal scaling (van der Sluis).
@@ -372,6 +396,39 @@ def _coarse_invert(ac):
 
     x = jax.lax.fori_loop(0, 4, body64, x)
     return (x * dinv_sqrt[:, None] * dinv_sqrt[None, :]).astype(jnp.float32)
+
+
+@jax.jit
+@_precise
+def _lift_rigid(ac, vc):
+    """Lift the coarse operator's rigid-kernel span: Ac + tau * Q Q^T.
+
+    `vc` are the coarse coordinates of the global rigid modes. The prolongator's
+    per-aggregate blocks are ORTHONORMAL (host QR), so P^T P = I and the exact
+    coordinates of any fine vector IN range(P) — the rigid modes are, by
+    construction — are simply its restriction vc = P^T R. The basis is
+    orthonormalized by a tiny device Cholesky and lifted by tau = 1e-3 * max diag.
+
+    Why the lift exists: the rigid directions' coarse eigenvalues sit at
+    |sigma|*mass, ~1e9-1e13 below the elastic top; the 1/(|sigma|*mass) response
+    dominates every entry of the UNLIFTED inverse, so an f32 cast of it erases the
+    elastic correction entirely (measured: outer convergence collapses to
+    Jacobi-grade ~0.97/iteration), and an f32 Newton-Schulz phase can never climb
+    the ~1e11 condition number either. Lifting must cover the kernel span EXACTLY —
+    lifting the mass-weighted image P^T M R = Mc vc instead leaves part of vc at
+    |sigma|*mass and the failure persists (also measured). The rigid directions are
+    M-deflated at the fine level anyway (AmgPrecond.apply), so answering 1/tau on
+    them costs nothing."""
+    f64 = jnp.float64
+    vc = vc.astype(f64)
+    g = vc.T @ vc
+    g = g + 1e-12 * jnp.trace(g) / g.shape[0] * jnp.eye(g.shape[0], dtype=f64)
+    ell = jnp.linalg.cholesky(g)
+    linv = jax.scipy.linalg.solve_triangular(
+        ell, jnp.eye(g.shape[0], dtype=f64), lower=True)
+    q = vc @ linv.T
+    tau = 1e-3 * jnp.max(jnp.diagonal(ac))
+    return ac + tau * (q @ q.T)
 
 
 @partial(jax.jit, static_argnames=("ncomp",))
@@ -431,27 +488,6 @@ def _restrict(w, agg6, nagg: int, x):
                                num_segments=nagg * 6)
 
 
-@jax.jit
-@_precise
-def _lift_rigid(ac, l):
-    """Lift the coarse rigid-response span: Ac + tau * L_hat L_hat^T.
-
-    L = P^T M R (euclidean-normalized columns), tau = 1e-3 * max diag. The rigid
-    directions' coarse eigenvalues sit at |sigma|*mass, ~1e9-1e13 BELOW the elastic
-    top; inverting that range is (a) beyond what an f32 REPRESENTATION of the inverse
-    can carry (the elastic response drowns in the f32 mantissa of rigid-dominated
-    entries) and (b) beyond what an f32 Newton-Schulz phase can converge (cond ~1e11+
-    needs ~40 correct doublings). The fine-level deflation strips rigid components
-    from every input anyway, so the preconditioner is free to answer 1/tau instead of
-    1/(|sigma|*mass) on that span — after the lift the whole inverse lives inside the
-    elastic dynamic range and every downstream stage is f32-safe."""
-    l64 = l.astype(ac.dtype)
-    norms = jnp.maximum(jnp.linalg.norm(l64, axis=0, keepdims=True), 1e-30)
-    lh = l64 / norms
-    tau = 1e-3 * jnp.max(jnp.diagonal(ac))
-    return ac + tau * (lh @ lh.T)
-
-
 @partial(jax.jit, static_argnames=("seed_dim",))
 def _dinv_a_radius(shifted, inv_diag, seed_dim):
     """Spectral radius of D^-1 A by power iteration (f32, device). The Jacobi smoother
@@ -494,19 +530,27 @@ def build_amg(
     with profile.scope("amg/aggregate"):
         agg, nagg = _aggregate(np.asarray(quad.element_nodes), n_nodes,
                                max_coarse_dofs // 6)
+    # Prolongator: host per-aggregate rigid QR (orthonormal node blocks — the
+    # orthonormality is what makes the lift's vc = P^T R exact and keeps the coarse
+    # operator free of spurious near-zero columns), uploaded as f32 (~1 MB; the f64
+    # upload cost ~6 s per solve through the axon tunnel at ~0.5 MB/s). The coarse
+    # dof map and element-node table derive on device (elem_dofs is already
+    # resident: every 3rd dof column // 3).
     with profile.scope("amg/rigid_weights"):
         w = _rigid_weights(coords, np.clip(agg, 0, None), nagg)
     w[agg < 0] = 0.0  # orphan nodes contribute nothing to the coarse space
-    agg_safe = np.clip(agg, 0, None).astype(np.int32)
-    agg6 = agg_safe[:, None] * 6 + np.arange(6, dtype=np.int32)[None, :]
-
-    w64_d = jnp.asarray(w)
-    agg6_d = jnp.asarray(agg6)
+    coords32_d = jnp.asarray(coords.astype(np.float32))
+    agg_d = jnp.asarray(agg.astype(np.int32))
+    with profile.scope("amg/weights_upload"):
+        w32_d = jnp.asarray(w.astype(np.float32))
+    agg_safe_d = jnp.clip(agg_d, 0, None)
+    agg6_d = (agg_safe_d[:, None] * 6 + jnp.arange(6, dtype=jnp.int32)[None, :])
+    element_nodes_d = ops.elem_dofs[:, ::3] // 3
     with profile.scope("amg/coarse_assemble"):
         ac = _coarse_assemble(
             ops.k_blocks, ops.rho_vol, ops.m_unit,
-            jnp.asarray(np.asarray(quad.element_nodes, np.int32)),
-            w64_d, agg6_d, jnp.float64(sigma), nagg,
+            element_nodes_d,
+            w32_d.astype(jnp.float64), agg6_d, jnp.float64(sigma), nagg,
         )
         if profile.enabled:
             jax.block_until_ready(ac)
@@ -518,8 +562,7 @@ def build_amg(
         comp, ncomp = _components(np.asarray(quad.element_nodes), n_nodes)
     with profile.scope("amg/rigid_build"):
         r_dev = _rigid_modes_device(
-            jnp.asarray(coords.astype(np.float32)),
-            jnp.asarray(comp.astype(np.int32)), int(max(ncomp, 1)))
+            coords32_d, jnp.asarray(comp.astype(np.int32)), int(max(ncomp, 1)))
         mr, g_d = _rigid_gram(ops, r_dev)
         g = np.asarray(g_d)
     g = 0.5 * (g + g.T)
@@ -529,16 +572,17 @@ def build_amg(
     linv_t = np.linalg.inv(ell).T
     r_on, mr_on = _rigid_orthonormalize(r_dev, mr, jnp.asarray(linv_t, jnp.float32))
 
-    w32_d = w64_d.astype(jnp.float32)
     with profile.scope("amg/lift"):
-        ac = _lift_rigid(ac, _restrict(w32_d, agg6_d, nagg, mr_on))
+        ac = _lift_rigid(ac, _restrict(w32_d, agg6_d, nagg, r_on))
     if jax.default_backend() == "cpu":
         # LAPACK beats emulated-matmul Newton-Schulz on host; device arrays are free
         # to round-trip here (no tunnel).
         ac_h = np.asarray(ac)
         ac_h = 0.5 * (ac_h + ac_h.T)
         dg = np.diagonal(ac_h)
-        ac_h = ac_h + np.diag(np.where(dg <= 0, max(dg.max(), 1e-300), 1e-12 * dg))
+        # Matrix-relative dead threshold — see _coarse_invert.
+        sc_h = max(dg.max(), 1e-300)
+        ac_h = ac_h + np.diag(np.where(dg <= 1e-9 * sc_h, sc_h, 1e-12 * dg))
         inv_h = np.linalg.inv(ac_h)
         # PCG requires an exactly symmetric preconditioner; LAPACK's LU inverse is
         # only symmetric to roundoff, so symmetrize. f32 like the device branch (the
@@ -560,7 +604,7 @@ def build_amg(
         omega = 1.0 / (1.05 * max(rho, 1.0))
     return AmgPrecond(
         agg6=agg6_d,
-        w=w64_d.astype(jnp.float32),
+        w=w32_d,
         ac_inv=ac_inv,
         inv_diag=inv_diag,
         rigid=r_on.astype(jnp.float32),

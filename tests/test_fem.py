@@ -193,3 +193,4 @@ class TestMassProperties:
         tets = np.concatenate([mesh.tets, bad])
         kept = filter_degenerate(pts, tets)
         assert kept.shape[0] == mesh.tets.shape[0]
+

@@ -322,3 +322,50 @@ class TestMaterialVariants:
         assert doc["extensions"]["KHR_materials_variants"]["variants"] == [
             {"name": "A"}]
         assert "KHR_materials_variants" in doc["extensionsUsed"]
+
+
+class TestImageBasedLights:
+    def test_ibl_roundtrip_and_render(self, tmp_path):
+        """EXT_lights_image_based: equirect -> cubemap+SH9 wire format -> equirect;
+        the imported environment drives the renderer (reference imports it as Scene
+        IBL, README.md:93-119)."""
+        from mesheditor_tpu.render.scene_render import RenderSettings, render_scene
+        from mesheditor_tpu.scene.components import ImageBasedLightComponent
+
+        env = np.zeros((32, 64, 3), np.float32)
+        env[:16] = (0.8, 0.5, 0.2)   # warm sky
+        env[16:] = (0.05, 0.1, 0.2)  # cool ground
+        r, e = _scene_with_material(metallic=0.9, roughness=0.15)
+        r.emplace(e, ImageBasedLightComponent(equirect=env, intensity=2.0))
+        path = tmp_path / "ibl.glb"
+        export_gltf(r, path)
+        doc_r = import_gltf(path)
+        comps = list(doc_r.view(ImageBasedLightComponent))
+        assert len(comps) == 1
+        got = comps[0][1]
+        assert got.intensity == pytest.approx(2.0)
+        assert got.equirect.size > 0
+        # Hemisphere means survive the 8-bit cube round trip.
+        h = got.equirect.shape[0]
+        top = got.equirect[: h // 3].mean(axis=(0, 1))
+        bot = got.equirect[-h // 3:].mean(axis=(0, 1))
+        assert top[0] > bot[0] and bot[2] > top[2] * 0.2
+        # The environment lights the render without explicit settings.
+        s = RenderSettings(width=64, height=48)
+        lit = render_scene(doc_r, settings=s).image()
+        doc_r.remove(comps[0][0], ImageBasedLightComponent)
+        unlit = render_scene(doc_r, settings=s).image()
+        assert np.abs(lit - unlit).max() > 0.02
+
+    def test_sh9_fallback(self, tmp_path):
+        """A document with irradianceCoefficients but no specular images still
+        produces a usable low-frequency environment."""
+        from mesheditor_tpu.render.environment import (
+            equirect_from_sh9, sh9_irradiance_coefficients,
+        )
+
+        env = np.zeros((16, 32, 3), np.float32)
+        env[:8] = (1.0, 1.0, 1.0)
+        coeffs = sh9_irradiance_coefficients(env)
+        rec = equirect_from_sh9(coeffs, height=16)
+        assert rec[:4].mean() > rec[-4:].mean()  # bright top survives
