@@ -62,6 +62,9 @@ class ElementOperators:
       k_blocks_f32: f32 copy for the preconditioner path — inner solves are a
                     preconditioner, so bf16-class MXU matmuls are plenty, and they run
                     orders of magnitude faster than TPU's emulated f64
+      k_lo:      (E, 30, 30) f32 — the split-K residue k_blocks - f64(k_blocks_f32);
+                 the pair (k_blocks_f32, k_lo) represents K to ~2^-48 relative, which
+                 is what `kmat_split` applies (see _apply_k_split)
       rho_vol:   (E,) — density * element volume (+ f32 copy)
       m_unit:    (30, 30) — kron(mass_tab, I3), shared by every element
       n_dofs:    int (static)
@@ -70,6 +73,7 @@ class ElementOperators:
     elem_dofs: jax.Array
     k_blocks: jax.Array
     k_blocks_f32: jax.Array
+    k_lo: jax.Array
     rho_vol: jax.Array
     rho_vol_f32: jax.Array
     m_unit: jax.Array
@@ -89,6 +93,20 @@ class ElementOperators:
     def mmat(self, x: jax.Array) -> jax.Array:
         return self._fix(_apply_m(self.elem_dofs, self.rho_vol, self.m_unit, x, self.n_dofs), x, self.m_fix)
 
+    def kmat_split(self, x: jax.Array) -> jax.Array:
+        """K @ x for an f32 panel, accurate to ~2^-48 of K (split-K two-float apply).
+
+        The f32 panel is the eigensolver's iterate — casting it to f64 is exact — so
+        the only precision question is the OPERATOR's: k_hi + k_lo captures K to
+        ~eps32^2 and both products run as f32-input einsums with f64 accumulation,
+        ~7x cheaper than the chunked emulated-f64 `kmat` at bench scale (the f64
+        apply spends its time in f64 gathers and the doubled-width expansion).
+        Residual-of-a-converged-column cancellation (~1e5-6x at FEM conditioning)
+        amplifies the 2^-48 operator truncation to ~3e-9 relative on the wanted
+        Rayleigh quotients — two decades under the f32 subspace floor."""
+        y = _apply_k_split(self.elem_dofs, self.k_blocks_f32, self.k_lo, x, self.n_dofs)
+        return self._fix(y, x.astype(jnp.float64), self.k_fix)
+
     def kmat_f32(self, x: jax.Array) -> jax.Array:
         y = _apply_k(self.elem_dofs, self.k_blocks_f32, x, self.n_dofs)
         return self._fix(y, x, self.k_fix.astype(jnp.float32))
@@ -102,8 +120,8 @@ class ElementOperators:
 jax.tree_util.register_dataclass(
     ElementOperators,
     data_fields=(
-        "elem_dofs", "k_blocks", "k_blocks_f32", "rho_vol", "rho_vol_f32", "m_unit",
-        "k_fix", "m_fix",
+        "elem_dofs", "k_blocks", "k_blocks_f32", "k_lo", "rho_vol", "rho_vol_f32",
+        "m_unit", "k_fix", "m_fix",
     ),
     meta_fields=("n_dofs",),
 )
@@ -203,6 +221,50 @@ def _apply_k(elem_dofs, k_blocks, x, n_dofs):
         return jnp.einsum("eij,ejp->eip", kb, xe)
 
     y = _chunked_apply(elem_dofs, x, n_dofs, per_chunk, chunking)
+    return y[:, 0] if squeeze else y
+
+
+# Elements per split-apply chunk: the f64-accumulated element products are the only
+# wide temporary, (chunk, 30, p) f64 — 4096*30*271*8 ≈ 266 MB at bench panel width.
+SPLIT_CHUNK = 4096
+
+
+def _apply_k_split(elem_dofs, k_hi, k_lo, x, n_dofs):
+    """y = (k_hi + k_lo) @ x with f32 element blocks and f64 accumulation.
+
+    Each chunk: gather the f32 panel, run BOTH split products as f32-input einsums
+    with preferred_element_type=f64 (XLA upcasts the 30-term products to f64 — exact,
+    since f32*f32 is representable in f64), sum, and segment-add in f64. See
+    ElementOperators.kmat_split for the accuracy budget."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    e = elem_dofs.shape[0]
+
+    def chunk_sum(dofs_c, hi_c, lo_c):
+        xe = x[dofs_c]  # (c, 30, p) f32
+        ye = jnp.einsum("eij,ejp->eip", hi_c, xe, preferred_element_type=jnp.float64)
+        ye = ye + jnp.einsum("eij,ejp->eip", lo_c, xe, preferred_element_type=jnp.float64)
+        return jax.ops.segment_sum(
+            ye.reshape(-1, ye.shape[2]), dofs_c.reshape(-1), num_segments=n_dofs
+        )
+
+    if e <= SPLIT_CHUNK:
+        y = chunk_sum(elem_dofs, k_hi, k_lo)
+    else:
+        n_chunks = -(-e // SPLIT_CHUNK)
+        pad = n_chunks * SPLIT_CHUNK - e
+        dofs_p = jnp.pad(elem_dofs, ((0, pad), (0, 0)))  # pad rows scatter 0 into dof 0
+        hi_p = jnp.pad(k_hi, ((0, pad), (0, 0), (0, 0)))
+        lo_p = jnp.pad(k_lo, ((0, pad), (0, 0), (0, 0)))
+
+        def body(c, acc):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * SPLIT_CHUNK, SPLIT_CHUNK)  # noqa: E731
+            return acc + chunk_sum(sl(dofs_p), sl(hi_p), sl(lo_p))
+
+        y = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((n_dofs, x.shape[1]), jnp.float64)
+        )
     return y[:, 0] if squeeze else y
 
 
@@ -344,10 +406,12 @@ def assemble_element_matrices(
         lam_est, m_scale = 1.0, 1.0
     k_fix = jnp.asarray(np.where(touched, 0.0, 100.0 * lam_est * m_scale), dtype)
     m_fix = jnp.asarray(np.where(touched, 0.0, m_scale), dtype)
+    k_hi = k_blocks.astype(jnp.float32)
     return ElementOperators(
         elem_dofs=elem_dofs,
         k_blocks=k_blocks.astype(dtype),
-        k_blocks_f32=k_blocks.astype(jnp.float32),
+        k_blocks_f32=k_hi,
+        k_lo=(k_blocks.astype(jnp.float64) - k_hi.astype(jnp.float64)).astype(jnp.float32),
         rho_vol=rho_vol,
         rho_vol_f32=rho_vol.astype(jnp.float32),
         m_unit=m_unit.astype(dtype),

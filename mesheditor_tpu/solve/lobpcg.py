@@ -338,19 +338,36 @@ def _blocks_to_gram(xx, xw, xp, ww, wp, pp):
     return jnp.concatenate([top, mid, bot], 0)
 
 
+@jax.jit
+def _pad_gram(g):
+    """Embed a (p, p) Gram in the (3p, 3p) block layout (zero W/P columns)."""
+    p = g.shape[0]
+    out = jnp.zeros((3 * p, 3 * p), g.dtype)
+    return out.at[:p, :p].set(g)
+
+
 @partial(jax.jit, static_argnames=("inner_iters",))
 @_precise
-def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters):
-    """One LOBPCG iteration up to the Gram matrices (the device Rayleigh-Ritz runs as
-    its own small program, see _rr_device): recombine [X | P] from the previous basis
-    and weights, apply the pencil FRESH to X in f64, compute residuals with fresh
-    Rayleigh quotients, precondition W (f32 PCG), M-project and normalize W and P
-    against X, apply the pencil fresh to W and P in f32, and form the blockwise
-    mixed-precision Gram matrices (see the section comment for the precision story).
+def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters, abs_sigma):
+    """One CALIBRATION LOBPCG iteration up to the Gram matrices (the device
+    Rayleigh-Ritz runs as its own small program, see _rr_device): recombine [X | P]
+    from the previous basis and weights, apply the pencil FRESH to X in f64, compute
+    residuals with fresh Rayleigh quotients, precondition W (f32 PCG), M-project and
+    normalize W and P against X, apply the pencil fresh to W and P in f32, and form
+    the blockwise mixed-precision Gram matrices (see the section comment for the
+    precision story).
 
-    No K/M product survives a recombination — recombining carried products cancels
-    ~theta_max/theta digits and leaves the Gram pair mutually inconsistent. The
-    momentum weights are derived on device: c_wp is c with the X-block rows zeroed."""
+    No K/M product survives a recombination here — recombining carried (n, p)
+    products cancels ~theta_max/theta digits and leaves the Gram pair mutually
+    inconsistent. (The CARRY stage below avoids that trap by carrying the (3p)^2
+    GRAMS, an exact f64 congruence, never the n-dim products.) The momentum weights
+    are derived on device: c_wp is c with the X-block rows zeroed.
+
+    Returns per-column RELATIVE residuals rel = ||r|| / (||Kx|| + |sigma|*||Mx||) —
+    the scale-free convergence certificate (rigid-body columns: ||Kx|| ~ 0, the
+    sigma term keeps the measure finite and tiny). Eigenvalue error is quadratic in
+    rel over the preconditioned gap, so rel certifies a residual-based exit that the
+    f32 value-settling noise cannot."""
     c32 = c.astype(s.dtype)  # recombination weights arrive f64 from _rr_device
     p = c.shape[1]
     c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c32, jnp.zeros_like(c32))
@@ -374,6 +391,9 @@ def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters):
     theta = _col_dots(x64, kx)  # fresh f64 Rayleigh quotients; unit-M-norm columns
     r = kx - mx * theta[None, :]
     res_norm = jnp.sqrt(_col_dots(r, r))
+    rel = res_norm / (
+        jnp.sqrt(_col_dots(kx, kx)) + abs_sigma * jnp.sqrt(_col_dots(mx, mx)) + 1e-300
+    )
 
     w = _pcg_block(shifted.amat, inv_diag, r.astype(jnp.float32), inner_iters)
     mw = ops.mmat_f32(w)
@@ -413,7 +433,96 @@ def _f32_iter_stage(ops, shifted, s, c, inv_diag, inner_iters):
         _gram64(mx, w), _gram64(mx, pdir),
         _gram64(w, mw), _gram64(w, mp), _gram64(pdir, mp),
     )
-    return s2, a, b, res_norm
+    return s2, a, b, res_norm, rel
+
+
+@partial(jax.jit, static_argnames=("inner_iters",))
+@_precise
+def _f32_iter_stage_carry(ops, shifted, s, c, a_prev, b_prev, inv_diag, inner_iters):
+    """One CARRY LOBPCG iteration: identical subspace update to `_f32_iter_stage`, but
+    the X-block Gram pair is CARRIED through the Rayleigh-Ritz recombination as an
+    exact f64 congruence of the previous iteration's measured Grams —
+        a_xx = d (c^T a_prev c) d,   b_xx = d (c^T b_prev c) d
+    (d the fresh unit-M-norm scaling) — instead of re-measured through an emulated-f64
+    pencil apply. Why this is safe where carrying (n, p) PRODUCTS was not: the
+    congruence never touches n-dim vectors, so there is no theta_max/theta
+    cancellation — its error is ~eps64 * p * |c|^T|a_prev||c|, i.e. eps64-grade
+    RELATIVE to the Ritz values. The only f32 content entering a_xx is the panel
+    noise of the recombination itself (the f32 subspace floor, which both designs
+    share). Measured on the bench pencil: the emulated-f64 batched element einsum is
+    ~320 ms/iteration (the MXU cannot tile (E, 30, 30) blocks, so the f64 expansion
+    runs element-by-element) while this congruence is two gram-shaped f64 matmuls.
+
+    The residual is formed from the f32 K apply — its ~1e-2-relative cancellation
+    noise only pollutes the W search DIRECTION (quadratically damped over the
+    preconditioned gap) and the a_x[w|p] cross blocks (second-order over the
+    theta_w - theta_x ~ 1e13 gap: delta^2/gap << any wanted value). Calibration
+    iterations (the accurate stage above) re-anchor the carried values every few
+    steps, so drift cannot accumulate past ~recalib * eps32-grade.
+    """
+    c64 = c  # f64 from _rr_device
+    c32 = c.astype(s.dtype)
+    p = c.shape[1]
+    c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c32, jnp.zeros_like(c32))
+    x = s @ c32
+    pdir = s @ c_wp
+
+    mx32 = ops.mmat_f32(x)
+    cn = jnp.einsum("np,np->p", x, mx32, preferred_element_type=jnp.float64)
+    live = cn > _tiny(jnp.float32)
+    d = jnp.where(live, jax.lax.rsqrt(jnp.where(live, cn, 1.0)), 0.0)
+    x = x * d.astype(jnp.float32)[None, :]
+    mx32 = mx32 * d.astype(jnp.float32)[None, :]
+
+    # Carried X-block Grams: exact congruence, then the fresh normalization scaling.
+    axx = c64.T @ (a_prev @ c64)
+    bxx = c64.T @ (b_prev @ c64)
+    theta = jnp.diagonal(axx) / jnp.maximum(jnp.diagonal(bxx), _tiny(jnp.float64))
+    axx = axx * d[:, None] * d[None, :]
+    bxx = bxx * d[:, None] * d[None, :]
+
+    kx32 = ops.kmat_f32(x)
+    r32 = kx32 - mx32 * theta.astype(jnp.float32)[None, :]
+
+    w = _pcg_block(shifted.amat, inv_diag, r32, inner_iters)
+    mw = ops.mmat_f32(w)
+    pre2 = _col_dots(w, mw)
+    q = mx32.T @ w
+    w = w - x @ q
+    mw = mw - mx32 @ q
+    post2 = _col_dots(w, mw)
+    live = post2 > _live_eps(w.dtype) * jnp.maximum(pre2, _tiny(w.dtype))
+    w = jnp.where(live[None, :], w, 0.0)
+    mw = jnp.where(live[None, :], mw, 0.0)
+    w, mw = _normalize_cols(w, mw)
+    kw = ops.kmat_f32(w)
+
+    mp = ops.mmat_f32(pdir)
+    pre2p = _col_dots(pdir, mp)
+    qp = mx32.T @ pdir
+    pdir = pdir - x @ qp
+    mp = mp - mx32 @ qp
+    post2p = _col_dots(pdir, mp)
+    livep = post2p > _live_eps(pdir.dtype) * jnp.maximum(pre2p, _tiny(pdir.dtype))
+    pdir = jnp.where(livep[None, :], pdir, 0.0)
+    mp = jnp.where(livep[None, :], mp, 0.0)
+    pdir, mp = _normalize_cols(pdir, mp)
+    kp = ops.kmat_f32(pdir)
+
+    s2 = jnp.concatenate([x, w, pdir], 1)
+    # Cross blocks ride the f32 X-side products; their apply noise (~1e-2 of theta_x
+    # scale) enters the wanted Ritz values only as delta^2 / (theta_w - theta_x).
+    a = _blocks_to_gram(
+        axx,
+        _gram64(kx32, w), _gram64(kx32, pdir),
+        _gram64(w, kw), _gram64(w, kp), _gram64(pdir, kp),
+    )
+    b = _blocks_to_gram(
+        bxx,
+        _gram64(mx32, w), _gram64(mx32, pdir),
+        _gram64(w, mw), _gram64(w, mp), _gram64(pdir, mp),
+    )
+    return s2, a, b
 
 
 @jax.jit
@@ -444,9 +553,10 @@ def _polish_init(ops, x):
     return s, ks, ms, a, b
 
 
-@partial(jax.jit, static_argnames=("inner_iters",))
+@partial(jax.jit, static_argnames=("inner_iters", "w_f32"))
 @_precise
-def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
+def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters,
+                  w_f32=False):
     """One [X | W | P] LOBPCG refinement step in f64, up to the Gram matrices. Full
     momentum matters in the polish too: without the P block, near-zero rigid-body
     modes descend at steepest-descent rates and never settle.
@@ -455,7 +565,16 @@ def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
     f64 the recombination-cancellation drift is ~eps64 * (theta_max/theta) ~ 1e-11
     relative, harmless — so the expensive emulated-f64 pencil applies only to the W
     block. The correction block W is the f32-preconditioned residual (the
-    preconditioner needs no precision)."""
+    preconditioner needs no precision).
+
+    w_f32=True applies the pencil to W in f32 instead (the emulated-f64 element
+    apply is ~460 ms/iteration at bench scale): W is a HIGH-Rayleigh-quotient block,
+    so the f32 apply is eps32-RELATIVE accurate (no cancellation), and its Gram
+    errors enter the wanted Ritz values only quadratically over the theta_w -
+    theta_x gap. The deterministic eps32 rounding does add ~1e-7-relative jitter to
+    the b-Grams, so this path is gated to tolerances >= 1e-7 by the caller; the K
+    apply lands on the RAW preconditioned block (exactly f32-representable) and is
+    carried through the projection/normalization linearly, like P."""
     c = c.astype(s.dtype)
     theta = theta.astype(s.dtype)
     p = c.shape[1]
@@ -473,9 +592,14 @@ def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
     r = kx - mx * theta[None, :]
     res_norm = jnp.sqrt(_col_dots(r, r))
 
-    w = _pcg_block(shifted.amat, inv_diag32, r.astype(jnp.float32), inner_iters)
-    w = w.astype(s.dtype)
-    mw = ops.mmat(w)
+    w32 = _pcg_block(shifted.amat, inv_diag32, r.astype(jnp.float32), inner_iters)
+    w = w32.astype(s.dtype)
+    if w_f32:
+        mw = ops.mmat_f32(w32).astype(s.dtype)
+        kw_raw = ops.kmat_f32(w32).astype(s.dtype)
+    else:
+        mw = ops.mmat(w)
+        kw_raw = None
     pre2 = _col_dots(w, mw)
     q = mx.T @ w
     w = w - x @ q
@@ -484,8 +608,16 @@ def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
     live = post2 > _live_eps(w.dtype) * jnp.maximum(pre2, _tiny(w.dtype))
     w = jnp.where(live[None, :], w, 0.0)
     mw = jnp.where(live[None, :], mw, 0.0)
-    w, mw = _normalize_cols(w, mw)
-    kw = ops.kmat(w)
+    cnw = _col_dots(w, mw)
+    livew = cnw > _tiny(w.dtype)
+    dw = jnp.where(livew, jax.lax.rsqrt(jnp.where(livew, cnw, 1.0)), 0.0)
+    w = w * dw[None, :]
+    mw = mw * dw[None, :]
+    if w_f32:
+        kw = (kw_raw - kx @ q)  # carried through the projection, like P
+        kw = jnp.where(live[None, :], kw, 0.0) * dw[None, :]
+    else:
+        kw = ops.kmat(w)
 
     # P is a linear combination of the previous S; its carried products update linearly
     # through projection and normalization — the pencil is never applied to P.
@@ -646,6 +778,7 @@ def lobpcg_pencil(
     """
     from ..fem.assembly import ElementOperators, bake_shifted_f32
 
+    guard = int(os.environ.get("MESHEDITOR_TPU_GUARD", "0")) or guard
     p = min(nev + guard, n)
 
     # Small pencils route to the host shift-invert (exact, robust); the blocked TPU
@@ -806,26 +939,100 @@ def lobpcg_pencil(
     # points). When the handoff prefix stops improving, the subspace is at its f32
     # floor — hand off to the f64 polish, whose host Rayleigh-Ritz is noise-free and
     # whose eigenvalue error is quadratic in the remaining subspace error.
+    # Carry/calibration schedule: most iterations run the cheap carry stage (no
+    # emulated-f64 pencil apply — see _f32_iter_stage_carry); every `recalib`-th runs
+    # the accurate stage, which re-anchors the carried X Grams AND measures true
+    # relative residuals. Those residuals drive the PRIMARY exit: value-settling in
+    # f32 is noise-bound (see stagnation note above), but ||r||/(||Kx||+|s|||Mx||) is
+    # a monotone certificate — eigenvalue error is quadratic in it, so rel < res_exit
+    # certifies the caller's tolerance directly.
+    recalib = max(1, int(os.environ.get("MESHEDITOR_TPU_RECALIB", "4")))
+    no_carry = bool(int(os.environ.get("MESHEDITOR_TPU_NO_CARRY", "0")))
+    res_exit = float(
+        os.environ.get("MESHEDITOR_TPU_RES_EXIT", "0") or max(1e-4, (tol * 0.1) ** 0.5)
+    )
+    sig_d = jnp.asarray(abs(sigma), jnp.float64)
+    a_prev = _pad_gram(a)
+    b_prev = _pad_gram(b)
+    res_d = None
+    res_stall_count = 0
+    last_rel_q = np.inf
+    res_progress = float(os.environ.get("MESHEDITOR_TPU_RES_PROGRESS", "2.0"))
+    res_deep = float(os.environ.get("MESHEDITOR_TPU_RES_DEEP", "3e-5"))
     best_hand = -1
     hand_stall = 0
     hand_patience = 6
     with profile.scope("eig/f32_loop"):
         for it in range(f32_max):
+            calibrated = no_carry or ((it + 1) % recalib == 0)
             # The two sync=... scopes serialize the pipeline when profiling is ON;
             # they are free (and non-blocking) in production.
             with profile.scope("iter_stage", sync=None):
-                s, a, b, res_d = _f32_iter_stage(
-                    op_state, shifted, s, c, inv_diag32, inner_iters,
-                )
+                if calibrated:
+                    s, a, b, res_d, rel_d = _f32_iter_stage(
+                        op_state, shifted, s, c, inv_diag32, inner_iters, sig_d,
+                    )
+                else:
+                    s, a, b = _f32_iter_stage_carry(
+                        op_state, shifted, s, c, a_prev, b_prev, inv_diag32,
+                        inner_iters,
+                    )
+                    rel_d = None
                 if profile.enabled:
                     jax.block_until_ready(b)
             with profile.scope("rr_device"):
                 theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
                 if profile.enabled:
                     jax.block_until_ready(c)
+            a_prev, b_prev = a, b
             s_hint = theta_d[p - 1]
             f32_iters = it + 1
             ops_count += 6 + inner_iters
+            if calibrated:
+                rel_h = np.asarray(jax.device_get(rel_d), np.float64)
+                finite = np.isfinite(rel_h[:nev]).all()
+                rel_max = float(rel_h[:nev].max()) if finite else np.inf
+                # Progress metric: a high quantile rather than the max — the sort
+                # boundary at the guard edge churns one or two columns between RR
+                # passes, and their rel stays O(1) while the subspace underneath them
+                # is converging steadily.
+                rel_q = float(np.quantile(rel_h[:nev], 0.9)) if finite else np.inf
+                if debug:
+                    print(f"[res32] it={f32_iters} rel_max={rel_max:.3e} "
+                          f"rel_q90={rel_q:.3e} "
+                          f"rel_med={float(np.median(rel_h[:nev])):.3e}", flush=True)
+                if rel_max < res_exit:
+                    lam = np.asarray(jax.device_get(theta_d), np.float64)
+                    if np.isfinite(lam[:nev]).all():
+                        if callback is not None and callback(f32_iters, nev):
+                            return fail(f32_iters, ops_count, "cancel")
+                        if not need_polish:
+                            x_out = _extract_x(s, c)
+                            res_norm = np.asarray(jax.device_get(res_d))
+                            return LobpcgResult(
+                                lam[:nev].copy(),
+                                x_out[:, :nev],  # device-resident; see LobpcgResult
+                                f32_iters,
+                                ops_count,
+                                residual_norms=res_norm[:nev],
+                            )
+                        handoff = True  # residuals certify the subspace; polish
+                        break           # owns the sub-f32-floor tolerance
+                # Residual-stall handoff: the f32 panel noise floors the subspace at
+                # rel ~ eps32 * lambda_max / (theta + |sigma|) (measured q90 ~ 7e-3
+                # on the bench pencil); once a calibration window shows no >=
+                # res_progress improvement, further f32 iterations only bounce on
+                # the floor — hand off. rel_q < res_deep skips the wait when the
+                # quantile is already deep enough that the polish settles in its
+                # first couple of iterations.
+                if rel_q > last_rel_q / res_progress:
+                    res_stall_count += 1
+                else:
+                    res_stall_count = 0
+                last_rel_q = rel_q
+                if (res_stall_count >= 1 or rel_q < res_deep) and f32_iters >= 8:
+                    handoff = True
+                    break
             if pending is not None:
                 status, lam = check("eig32", pending[0], pending[1], tol32)
                 if status in ("cancel", "nan"):
@@ -876,9 +1083,19 @@ def lobpcg_pencil(
     # scramble floor (~1e-4 value spread, measured). Host traffic is (3p)^2 Grams down
     # + (3p, p) weights up per polish iteration — bounded by the subspace size, not n;
     # the performance path (f32 settling at >= 3e-7 tolerances) never polishes.
+    # Wire compression (the axon tunnel runs ~5-20 MB/s, so the per-iteration host RR
+    # is transfer-bound): b crosses DOWN in f32 — its columns are unit-M-norm so every
+    # entry is O(1) and f32 rounding (~6e-8 relative) perturbs only which
+    # near-dependent directions fall below the whitening cutoff, all of which get the
+    # above-window penalty parking either way. a stays f64: its entries ARE the Ritz
+    # values. c crosses UP in f32 — recombination weights applied identically to s/ks/
+    # ms keep the carried products exactly consistent, and an eps32 rotation WITHIN
+    # the returned subspace is corrected by the next Rayleigh-Ritz.
+    _b32 = jax.jit(lambda m: m.astype(jnp.float32))
+
     def _rr_host(a_dev, b_dev):
         a_h = np.asarray(jax.device_get(a_dev), np.float64)
-        b_h = np.asarray(jax.device_get(b_dev), np.float64)
+        b_h = np.asarray(jax.device_get(_b32(b_dev)), np.float64)
         theta_h, c_h = _solve_reduced(a_h, b_h, p)
         return theta_h, c_h
 
@@ -890,7 +1107,8 @@ def lobpcg_pencil(
         theta_h, c_h = _rr_host(a64, b64)
         theta64_d = jnp.asarray(theta_h)
         s_hint = theta64_d[p - 1]
-        c64 = jnp.asarray(np.concatenate([c_h, np.zeros((2 * p, p))], 0))
+        c64 = jnp.asarray(np.concatenate([c_h, np.zeros((2 * p, p))], 0)
+                          .astype(np.float32))
         ops_count += 2
         lam = theta_h.copy()
     if not np.isfinite(lam[:nev]).all():
@@ -911,12 +1129,23 @@ def lobpcg_pencil(
     accept_streak = 0
     best_settled = -1
     since_improve = 0
+    # A deeper polish inner solve does NOT raise the per-outer convergence rate
+    # (measured: identical settled trajectories at 16 vs 48 inner — the f32 AMG-PCG
+    # saturates its usable accuracy well before 16 steps), so the polish keeps the
+    # caller's inner depth.
+    polish_inner = int(os.environ.get("MESHEDITOR_TPU_POLISH_INNER", "0")) or inner_iters
+    # f32 W applies in the polish are OFF by default: the polish carries K S / M S
+    # through recombinations, and an eps32-relative kw pollutes the carried kx at
+    # first order (eps32 * sqrt(theta_x * theta_w) ~ 1e-2 relative on the lowest
+    # modes — measured as -1e26 spurious Ritz values within two polish iterations).
+    # The flag remains for experiments only.
+    polish_w32 = bool(int(os.environ.get("MESHEDITOR_TPU_POLISH_W32", "0")))
     with profile.scope("eig/polish_loop"):
         for pit in range(polish_max):
             with profile.scope("polish_stage"):
                 s64, ks64, ms64, a64, b64, res_d = _polish_stage(
                     op_state, shifted, s64, ks64, ms64, c64, theta64_d, inv_diag32,
-                    inner_iters,
+                    polish_inner, w_f32=polish_w32,
                 )
                 if profile.enabled:
                     jax.block_until_ready(b64)
@@ -924,8 +1153,8 @@ def lobpcg_pencil(
                 theta_h, c_h = _rr_host(a64, b64)
             theta64_d = jnp.asarray(theta_h)
             s_hint = theta64_d[p - 1]
-            c64 = jnp.asarray(c_h)
-            ops_count += 2 + inner_iters
+            c64 = jnp.asarray(c_h.astype(np.float32))  # see wire-compression note
+            ops_count += 2 + polish_inner
             iterations = f32_iters + pit + 1
             lam_prev_snapshot = prev.copy()
             status, lam = check("eig64", iterations, theta64_d, tol)
