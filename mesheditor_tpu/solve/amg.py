@@ -75,28 +75,30 @@ class AmgPrecond:
     m_rigid: jax.Array  # (n_dofs, 6*ncomp) f32 — M @ rigid
     omega: float  # smoother damping
     nagg: int
+    cycle: str = "additive"  # "additive" | "v11" (see apply)
 
-    def apply(self, apply_a, r):
-        """ADDITIVE two-level preconditioner z = omega*D^-1 r + P Ac^-1 P^T r for an
-        (n, p) f32 panel, with the coarse term M-deflated against the rigid modes.
+    def _coarse_correct(self, r):
+        """Deflated coarse correction e = Pi P Ac^-1 P^T Pi^T r.
 
-        Additive (BPX/additive-Schwarz shape), NOT a multiplicative V-cycle, on
-        purpose: the V-cycle's intermediate residuals r - A x are f32 A-applies whose
-        cancellation noise (eps32 * ||A|| * ||x||) feeds the near-singular coarse
-        inverse and re-enters through stiff directions of A — measured 3.5-470x
-        residual GROWTH per cycle depending on the rhs. The additive form never
-        applies A inside the preconditioner, so the only f32 hazard is the rigid-mode
-        amplification, which the deflation removes. `apply_a` is accepted (and
-        ignored) so the solver can treat every preconditioner uniformly."""
-        del apply_a
+        Two-sided M-deflation Pi B Pi^T (Pi = I - R (M R)^T): one-sided deflation is
+        an ASYMMETRIC operator, which silently violates PCG's SPD contract; the
+        symmetric sandwich both strips rigid components from the input (so the
+        near-singular coarse inverse never sees them) and from the output (so the
+        amplified response never re-enters).
+
+        The coarse APPLY runs f32. Safe because the inverse is of the RIGID-LIFTED
+        coarse operator (build_amg adds tau * L L^T along the coarse rigid-response
+        span before inverting): without the lift, ac_inv's entries are dominated by
+        the 1/(|sigma|*mass) rigid response, ~1e9x the elastic response, so an f32
+        CAST of the inverse erases the elastic correction entirely — measured as the
+        outer iteration collapsing to ~0.95/iteration (Jacobi-grade) on a CDT
+        icosphere. With the lift, every entry of ac_inv lives within the elastic
+        dynamic range and f32 carries it at eps32-relative accuracy. The f64 apply
+        it replaces cost ~60-100 ms per inner PCG step on a v5e (emulated f64
+        (nc, nc) @ (nc, p) every one of the 16 inner iterations) — the single
+        largest term of the outer iteration."""
         nn = self.w.shape[0]
         p = r.shape[1]
-        om = jnp.asarray(self.omega, r.dtype)
-        # Two-sided M-deflation Pi B Pi^T (Pi = I - R (M R)^T): one-sided deflation is
-        # an ASYMMETRIC operator, which silently violates PCG's SPD contract; the
-        # symmetric sandwich both strips rigid components from the input (so the
-        # near-singular coarse inverse never sees them) and from the output (so the
-        # amplified response never re-enters).
         rd = r - self.m_rigid @ (self.rigid.T @ r)
         rn = jnp.einsum("nck,ncp->nkp", self.w, rd.reshape(nn, 3, p))  # (nn, 6, p)
         rc = jax.ops.segment_sum(
@@ -104,27 +106,41 @@ class AmgPrecond:
             self.agg6.reshape(-1),
             num_segments=self.nagg * 6,
         )
-        # The coarse APPLY runs f32. Safe because the inverse is of the RIGID-LIFTED
-        # coarse operator (build_amg adds tau * L L^T along the coarse rigid-response
-        # span before inverting): without the lift, ac_inv's entries are dominated by
-        # the 1/(|sigma|*mass) rigid response, ~1e9x the elastic response, so an f32
-        # CAST of the inverse erases the elastic correction entirely — measured as the
-        # outer iteration collapsing to ~0.95/iteration (Jacobi-grade) on a CDT
-        # icosphere. With the lift, every entry of ac_inv lives within the elastic
-        # dynamic range and f32 carries it at eps32-relative accuracy. The f64 apply
-        # it replaces cost ~60-100 ms per inner PCG step on a v5e (emulated f64
-        # (nc, nc) @ (nc, p) every one of the 16 inner iterations) — the single
-        # largest term of the outer iteration.
         xc = self.ac_inv @ rc
         e = jnp.einsum("nck,nkp->ncp", self.w, xc[self.agg6]).reshape(-1, p)
-        e = e - self.rigid @ (self.m_rigid.T @ e)
-        return om * self.inv_diag[:, None] * r + e
+        return e - self.rigid @ (self.m_rigid.T @ e)
+
+    def apply(self, apply_a, r):
+        """Two-level preconditioner application for an (n, p) f32 panel.
+
+        cycle="additive": z = omega*D^-1 r + coarse(r) — BPX/additive-Schwarz shape.
+        Never applies A inside, so the only f32 hazard is the rigid-mode
+        amplification, which the deflation removes. The historical default; weaker
+        per application but costs zero extra A-panels.
+
+        cycle="v11": symmetric multiplicative V(1,1) — damped-Jacobi pre-smooth,
+        deflated coarse correction of the smoothed residual, damped-Jacobi
+        post-smooth. Two extra A-panels per application, repaid by a far stronger
+        contraction. The early f32-noise objection (intermediate residuals feeding
+        the near-singular coarse inverse, measured 3.5-470x growth) predates the
+        rigid LIFT + two-sided deflation, which cap the coarse amplification at the
+        elastic band; re-measured with both in place the cycle is stable (see
+        scripts/diag_amg.py)."""
+        om = jnp.asarray(self.omega, r.dtype)
+        if self.cycle == "v11":
+            z1 = om * self.inv_diag[:, None] * r
+            r1 = r - apply_a(z1)
+            z2 = z1 + self._coarse_correct(r1)
+            r2 = r - apply_a(z2)
+            return z2 + om * self.inv_diag[:, None] * r2
+        del apply_a
+        return om * self.inv_diag[:, None] * r + self._coarse_correct(r)
 
 
 jax.tree_util.register_dataclass(
     AmgPrecond,
     data_fields=("agg6", "w", "ac_inv", "inv_diag", "rigid", "m_rigid"),
-    meta_fields=("omega", "nagg"),
+    meta_fields=("omega", "nagg", "cycle"),
 )
 
 

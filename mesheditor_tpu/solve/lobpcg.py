@@ -191,6 +191,52 @@ def _precise(fn):
     return wrapper
 
 
+def _refine_sym(g, v, passes=2, cluster_rel=1e-5):
+    """First-order eigenvector refinement of approximate eigenvectors `v` of the
+    symmetric f64 matrix `g` — the device-RR's precision workhorse.
+
+    TPU has fast f32 eigh and NO practical f64 eigh (software-emulated, minutes at
+    800^2), but f64 MATMULS are fine — and eigenvector error is first-order
+    correctable by pure matmuls: with E = v^T g v, the Sylvester correction
+    dv_j = sum_i v_i E_ij / (E_jj - E_ii) squares the error per pass (eps32-grade
+    f32 eigh vectors reach ~eps32^2 in two passes). Near-degenerate pairs are
+    guarded out (cluster_rel): rotations inside an eigenvalue cluster are
+    physically arbitrary, and dividing by their gap would amplify noise instead of
+    fixing it. `v` must span the FULL basis being refined (the correction lives in
+    span(v)); columns are renormalized each pass.
+
+    Why this exists: the fold-RR's f32 eigh leaves ~eps32 * kappa_local mixing in
+    the recombination weights, which re-injects high-Rayleigh-quotient directions
+    into converged columns every iteration — measured as the f32 loop flooring at
+    rel ~ 7e-3 while the same loop under a host f64 LAPACK RR reaches 4e-6 and
+    keeps going. Two refinement passes (+ ~30 ms of f64 matmuls) buy the host-RR
+    floor without the ~1 s/iteration tunnel round-trip."""
+    k = v.shape[1]
+    eye_mask = 1.0 - jnp.eye(k, dtype=v.dtype)
+
+    def one(v, _):
+        gv = g @ v
+        e = v.T @ gv
+        lam = jnp.diagonal(e)
+        den = lam[None, :] - lam[:, None]
+        mag = jnp.abs(lam)[None, :] + jnp.abs(lam)[:, None]
+        ok = jnp.abs(den) > cluster_rel * mag + 1e-300
+        x = jnp.where(ok, e / jnp.where(ok, den, 1.0), 0.0) * eye_mask
+        # ZERO (never clip) corrections outside first-order validity: a large X_ij
+        # means the pair is an effective cluster whose returned basis is an
+        # arbitrary rotation — E_ij ~ den * O(1) — and "correcting" by a clipped
+        # +-0.5 injects an O(1) wrong-direction mix (measured: clipping REGRESSED
+        # the f32 loop floor from 8e-3 to 8e-2 on the bench box, whose symmetry
+        # packs the spectrum with near-degenerate pairs).
+        x = jnp.where(jnp.abs(x) > 0.1, 0.0, x)
+        v = v + v @ x
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-300)
+        return v, None
+
+    v, _ = jax.lax.scan(one, v, None, length=passes)
+    return v
+
+
 @partial(jax.jit, static_argnames=("p_want",))
 @_precise
 def _rr_device(a, b, p_want: int, eps_b, s_hint):
@@ -231,13 +277,16 @@ def _rr_device(a, b, p_want: int, eps_b, s_hint):
     a = 0.5 * (a + a.T).astype(f64)
     b = 0.5 * (b + b.T).astype(f64)
     n3 = a.shape[0]
-    # 1. b-whiten in f32 (b is well-scaled by construction).
-    bw, bu = jnp.linalg.eigh(b.astype(jnp.float32))
-    bw = bw.astype(f64)
+    # 1. b-whiten: f32 eigh refined to f64-grade against the f64 b (see _refine_sym —
+    # unrefined f32 whitening vectors inject ~eps32 * kappa(b) errors through the
+    # 1/sqrt weighting of near-cutoff directions, one of the two fold-RR noise
+    # sources that floored the f32 loop).
+    bu = _refine_sym(b, jnp.linalg.eigh(b.astype(jnp.float32))[1].astype(f64))
+    bw = jnp.einsum("ij,ij->j", bu, b @ bu)  # fresh f64 Rayleigh quotients
     b_max = jnp.maximum(jnp.max(jnp.abs(bw)), 1e-300)
     good = bw > eps_b.astype(f64) * b_max
     inv_sqrt = jnp.where(good, jax.lax.rsqrt(jnp.where(good, bw, 1.0)), 0.0)
-    w = bu.astype(f64) * inv_sqrt[None, :]
+    w = bu * inv_sqrt[None, :]
     # 2. whitened pencil + dead-direction parking + first (wide) fold.
     h = w.T @ (a @ w)
     h = 0.5 * (h + h.T)
@@ -250,8 +299,13 @@ def _rr_device(a, b, p_want: int, eps_b, s_hint):
     ell = jnp.linalg.cholesky(h + s * jnp.eye(n3, dtype=f64))
     linv = jax.scipy.linalg.solve_triangular(ell, jnp.eye(n3, dtype=f64), lower=True)
     g = linv.T @ linv  # (h + s I)^{-1}
-    mu, y = jnp.linalg.eigh(g.astype(jnp.float32))  # ascending mu
-    sel = y[:, ::-1][:, :p_want].astype(f64)  # descending mu = ascending theta
+    # f32 eigh refined against the f64 fold (the second fold-RR noise source: f32
+    # mixing across the selection boundary re-injected high-theta directions into
+    # converged columns at ~1e-4/iteration).
+    y = _refine_sym(g, jnp.linalg.eigh(g.astype(jnp.float32))[1].astype(f64))
+    mu = jnp.einsum("ij,ij->j", y, g @ y)
+    order1 = jnp.argsort(-mu)  # descending mu = ascending theta
+    sel = y[:, order1[:p_want]]
     c1 = w @ sel
     # 3. second (window) fold over the selected subspace.
     a2 = c1.T @ (a @ c1)
@@ -270,8 +324,9 @@ def _rr_device(a, b, p_want: int, eps_b, s_hint):
     ell3 = jnp.linalg.cholesky(h2 + s2 * e_p)
     l3inv = jax.scipy.linalg.solve_triangular(ell3, e_p, lower=True)
     g2 = l3inv.T @ l3inv
-    mu2, y2 = jnp.linalg.eigh(g2.astype(jnp.float32))
-    sel2 = y2[:, ::-1].astype(f64)  # ascending theta
+    y2 = _refine_sym(g2, jnp.linalg.eigh(g2.astype(jnp.float32))[1].astype(f64))
+    mu2 = jnp.einsum("ij,ij->j", y2, g2 @ y2)
+    sel2 = y2[:, jnp.argsort(-mu2)]  # ascending theta
     c = c1 @ (l2inv.T @ sel2)
     # 4. exact f64 Rayleigh quotients of the actual columns; unit-b-norm; sorted.
     ac = a @ c
@@ -811,7 +866,8 @@ def lobpcg_pencil(
     # entries are accurate to the f32 representation of the panels (~1e-6 relative);
     # directions below that are cancellation noise and whitening by 1/sqrt of them
     # would amplify Gram noise into spurious Ritz values inside the wanted window.
-    eps_b32 = jnp.asarray(1e-5, jnp.float64)
+    eps_b32 = jnp.asarray(
+        float(os.environ.get("MESHEDITOR_TPU_EPS_B", "0") or 1e-5), jnp.float64)
     eps_b64 = jnp.asarray(1e-8, jnp.float64)
 
     # The fold-RR settling values are EXACT f64 Rayleigh quotients of the f32 basis, so
@@ -959,9 +1015,11 @@ def lobpcg_pencil(
     last_rel_q = np.inf
     res_progress = float(os.environ.get("MESHEDITOR_TPU_RES_PROGRESS", "2.0"))
     res_deep = float(os.environ.get("MESHEDITOR_TPU_RES_DEEP", "3e-5"))
+    res_host = float(os.environ.get("MESHEDITOR_TPU_RES_HOST", "3e-2"))
     best_hand = -1
     hand_stall = 0
     hand_patience = 6
+    host_rr_phase = False
     with profile.scope("eig/f32_loop"):
         for it in range(f32_max):
             calibrated = no_carry or ((it + 1) % recalib == 0)
@@ -981,7 +1039,22 @@ def lobpcg_pencil(
                 if profile.enabled:
                     jax.block_until_ready(b)
             with profile.scope("rr_device"):
-                theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
+                if host_rr_phase or os.environ.get("MESHEDITOR_TPU_HOST_RR32"):
+                    # Host LAPACK Rayleigh-Ritz phase: noise-free weights at the cost
+                    # of one wire round-trip (~0.9 s through the axon tunnel). Both
+                    # Grams cross DOWN in f32 — X-diag entries ARE the Ritz values,
+                    # but f32's 6e-8 relative is 20x inside the 1e-6 settling tol,
+                    # and every other block is eps32-sourced anyway; c crosses UP in
+                    # f32 (weights applied identically to panels and carried Grams
+                    # stay exactly consistent).
+                    ab_h = np.asarray(jax.device_get(
+                        jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])),
+                        np.float64)  # one wire round trip for both Grams
+                    th_h, c_h = _solve_reduced(ab_h[0], ab_h[1], p)
+                    theta_d = jnp.asarray(th_h)
+                    c = jnp.asarray(c_h.astype(np.float32)).astype(jnp.float64)
+                else:
+                    theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
                 if profile.enabled:
                     jax.block_until_ready(c)
             a_prev, b_prev = a, b
@@ -1030,9 +1103,25 @@ def lobpcg_pencil(
                 else:
                     res_stall_count = 0
                 last_rel_q = rel_q
-                if (res_stall_count >= 1 or rel_q < res_deep) and f32_iters >= 8:
-                    handoff = True
-                    break
+                stalled = res_stall_count >= 1 and f32_iters >= 8
+                if not host_rr_phase:
+                    if need_polish and (stalled or rel_q < res_deep):
+                        handoff = True  # sub-f32-floor tolerance: f64 polish owns it
+                        break
+                    if not need_polish and (stalled or rel_q < res_host):
+                        # The device-RR floor is the WEIGHT noise, not the panels
+                        # (the same loop under a host RR converges 50x deeper —
+                        # measured); switch the Rayleigh-Ritz to the host and keep
+                        # iterating the cheap f32 stages instead of paying
+                        # 2 s/iteration f64 polish. Switch as soon as the subspace
+                        # is in the host phase's basin (rel_q < res_host) — device
+                        # RR iterations past that point only bounce on the weight-
+                        # noise floor.
+                        host_rr_phase = True
+                        res_stall_count = 0
+                        if debug:
+                            print(f"[res32] it={f32_iters} -> host-RR phase",
+                                  flush=True)
             if pending is not None:
                 status, lam = check("eig32", pending[0], pending[1], tol32)
                 if status in ("cancel", "nan"):
@@ -1043,10 +1132,15 @@ def lobpcg_pencil(
                     best_hand, hand_stall = hand_prefix, 0
                 else:
                     hand_stall += 1
-                if status == "handoff" or (hand_stall >= hand_patience
-                                           and pending[0] >= 8):
-                    handoff = True
-                    break
+                if (status == "handoff" or (hand_stall >= hand_patience
+                                            and pending[0] >= 8)) \
+                        and not host_rr_phase:
+                    if need_polish:
+                        handoff = True
+                        break
+                    host_rr_phase = True  # see the residual-stall branch above
+                    if debug:
+                        print(f"[eig32] it={f32_iters} -> host-RR phase", flush=True)
             pending = (f32_iters, theta_d)
         else:
             status, lam = check("eig32", pending[0], pending[1], tol32)
