@@ -76,6 +76,11 @@ class AmgPrecond:
     omega: float  # smoother damping
     nagg: int
     cycle: str = "additive"  # "additive" | "v11" (see apply)
+    # Coarse mass matrix Mc = P^T M P (f32). Together with ac_inv (the inverse of the
+    # LIFTED shifted coarse operator) it closes the coarse PENCIL, which the spectral
+    # seed (spectral_seed below) eigensolves by inverse subspace iteration to hand the
+    # outer LOBPCG a coarse-grid-accurate starting subspace instead of a random one.
+    mc: object = None
 
     def _coarse_correct(self, r):
         """Deflated coarse correction e = Pi P Ac^-1 P^T Pi^T r.
@@ -139,7 +144,7 @@ class AmgPrecond:
 
 jax.tree_util.register_dataclass(
     AmgPrecond,
-    data_fields=("agg6", "w", "ac_inv", "inv_diag", "rigid", "m_rigid"),
+    data_fields=("agg6", "w", "ac_inv", "inv_diag", "rigid", "m_rigid", "mc"),
     meta_fields=("omega", "nagg", "cycle"),
 )
 
@@ -354,6 +359,43 @@ def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, sigma, n
     return ac.astype(jnp.float64)
 
 
+@partial(jax.jit, static_argnames=("nagg",))
+@_precise
+def _coarse_assemble_pencil(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, nagg):
+    """Galerkin coarse PENCIL (Kc, Mc) = (P^T K P, P^T M P) in one chunked scan — the
+    same gather traffic as the single-operator assembly (_coarse_assemble), two
+    einsums per chunk instead of one. Mc closes the coarse generalized eigenproblem
+    that the spectral seed (spectral_seed) inverse-iterates; Kc - sigma*Mc is the
+    shifted operator the V-cycle inverts."""
+    f32 = jnp.float32
+    nc = nagg * 6
+    e_total = k_blocks.shape[0]
+    pad = (-e_total) % _AC_CHUNK
+    kb = jnp.pad(k_blocks.astype(f32), ((0, pad), (0, 0), (0, 0)))
+    mb = rho_vol.astype(f32)[:, None, None] * m_unit.astype(f32)[None]
+    mb = jnp.pad(mb, ((0, pad), (0, 0), (0, 0)))
+    en = jnp.pad(element_nodes, ((0, pad), (0, 0)))
+    nsteps = kb.shape[0] // _AC_CHUNK
+    kb = kb.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
+    mb = mb.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
+    en = en.reshape(nsteps, _AC_CHUNK, 10)
+    w32 = w.astype(f32)
+
+    def step(carry, chunk):
+        kc, mc = carry
+        kbl, mbl, nodes = chunk
+        wn = w32[nodes]  # (C, 10, 3, 6)
+        tk = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, kbl, wn)
+        tm = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, mbl, wn)
+        ii = agg6[nodes][:, :, :, None, None]
+        jj = agg6[nodes][:, None, None, :, :]
+        return (kc.at[ii, jj].add(tk), mc.at[ii, jj].add(tm)), None
+
+    z = jnp.zeros((nc, nc), f32)
+    (kc, mc), _ = jax.lax.scan(step, (z, z), (kb, mb, en))
+    return kc.astype(jnp.float64), mc.astype(jnp.float64)
+
+
 @jax.jit
 @_precise
 def _coarse_invert(ac):
@@ -563,11 +605,12 @@ def build_amg(
     agg6_d = (agg_safe_d[:, None] * 6 + jnp.arange(6, dtype=jnp.int32)[None, :])
     element_nodes_d = ops.elem_dofs[:, ::3] // 3
     with profile.scope("amg/coarse_assemble"):
-        ac = _coarse_assemble(
+        kc, mc = _coarse_assemble_pencil(
             ops.k_blocks, ops.rho_vol, ops.m_unit,
             element_nodes_d,
-            w32_d.astype(jnp.float64), agg6_d, jnp.float64(sigma), nagg,
+            w32_d.astype(jnp.float64), agg6_d, nagg,
         )
+        ac = kc - jnp.float64(sigma) * mc
         if profile.enabled:
             jax.block_until_ready(ac)
 
@@ -627,4 +670,92 @@ def build_amg(
         m_rigid=mr_on.astype(jnp.float32),
         omega=float(omega),
         nagg=int(nagg),
+        mc=mc.astype(jnp.float32),
     )
+
+
+# ---- coarse spectral seeding ----
+#
+# The outer LOBPCG's iteration count is set by how far its STARTING subspace is from
+# the wanted eigenspace. A random start pays ~12 preconditioned iterations at bench
+# scale; the coarse pencil (Kc, Mc) — already Galerkin-assembled for the V-cycle —
+# approximates the lowest fine modes with coarse-grid discretization error, and its
+# eigenproblem is DENSE and small (nc <= 4096), i.e. pure MXU food. Inverse subspace
+# iteration with the already-inverted lifted operator costs a few f32 matmuls per
+# step; the prolongated Ritz vectors hand the fine iteration a subspace that is
+# already converged to coarse-grid accuracy. (The reference has no counterpart: its
+# Spectra shift-invert starts cold every solve, src/audio/mesh2modes.cpp:339-428.)
+
+
+@partial(jax.jit, static_argnames=("q", "iters", "p_want"))
+@_precise
+def _coarse_inverse_subspace(ac_inv, mc, key, q: int, iters: int, p_want: int):
+    """Top-(p_want) approximate eigenvectors of Ac_lifted^-1 in the Mc inner product,
+    by inverse subspace iteration + one final Rayleigh-Ritz. Returns (yc (nc, p_want)
+    f32 Mc-orthonormal-ish, mu (p_want,) f64 descending inverse-Ritz values).
+
+    Orthonormalization is two-pass CholQR in f32 with column equilibration and a
+    diagonal ridge: the iterate's Gram conditioning is bounded by one step's
+    amplification spread, and any residual non-orthogonality only degrades SEED
+    quality, which the fine iteration corrects."""
+    f32, f64 = jnp.float32, jnp.float64
+    nc = mc.shape[0]
+    y = jax.random.normal(key, (nc, q), f32)
+    eye_r = 1e-5 * jnp.eye(q, dtype=f32)
+
+    def chol_qr(y):
+        def one_pass(y, _):
+            my = mc @ y
+            d = jax.lax.rsqrt(jnp.maximum(jnp.einsum("ij,ij->j", y, my), 1e-30))
+            y = y * d[None, :]
+            my = my * d[None, :]
+            g = y.T @ my
+            g = 0.5 * (g + g.T) + eye_r
+            ell = jnp.linalg.cholesky(g)
+            yt = jax.scipy.linalg.solve_triangular(ell, y.T, lower=True)
+            return yt.T, None
+
+        y, _ = jax.lax.scan(one_pass, y, None, length=2)
+        return y
+
+    def body(_, y):
+        return chol_qr(ac_inv @ (mc @ y))
+
+    y = jax.lax.fori_loop(0, iters, body, y)
+    y = chol_qr(y)
+    # Reduced inverse operator t = Y^T Mc Ac^-1 Mc Y (symmetric PSD): its LARGEST
+    # eigenvalues are the wanted (lowest-theta) modes — exactly the fold-RR
+    # conditioning trick, and f32 eigh resolves the top of a spectrum fine.
+    my = mc @ y
+    t = jnp.einsum("ij,ik->jk", my, ac_inv @ my, preferred_element_type=f64)
+    t = 0.5 * (t + t.T)
+    mu, v = jnp.linalg.eigh(t.astype(f32))
+    sel = v[:, ::-1][:, :p_want].astype(f32)  # descending mu = ascending theta
+    return y @ sel, mu[::-1][:p_want].astype(f64)
+
+
+@jax.jit
+@_precise
+def _prolongate_deflated(w, agg6, rigid, m_rigid, yc):
+    """P yc, M-deflated against the global rigid modes (which the solver seeds
+    exactly; the coarse seeds must not duplicate them)."""
+    nn = w.shape[0]
+    p = yc.shape[1]
+    e = jnp.einsum("nck,nkp->ncp", w, yc[agg6]).reshape(-1, p)
+    return e - rigid @ (m_rigid.T @ e)
+
+
+def spectral_seed(amg: AmgPrecond, p: int, *, seed: int = 20260710,
+                  guard: int = 128, iters: int = 12):
+    """(n_dofs, p) f32 starting panel for the outer eigensolver: prolongated coarse
+    Ritz vectors, rigid-deflated. None when the coarse space is too small to supply
+    p useful columns (the caller falls back to a random start)."""
+    if amg.mc is None:
+        return None
+    nc = int(amg.mc.shape[0])
+    if nc < 2 * p:
+        return None
+    q = int(min(nc, p + guard))
+    yc, _mu = _coarse_inverse_subspace(
+        amg.ac_inv, amg.mc, jax.random.PRNGKey(seed), q, iters, p)
+    return _prolongate_deflated(amg.w, amg.agg6, amg.rigid, amg.m_rigid, yc)

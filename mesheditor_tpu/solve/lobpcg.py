@@ -913,10 +913,22 @@ def lobpcg_pencil(
         if isinstance(precond, AmgPrecond):
             rigid_cols = min(int(precond.rigid.shape[1]), p)
             x = x.at[:, :rigid_cols].set(precond.rigid[:, :rigid_cols])
+        seeded = 0
         if x0 is not None and np.size(x0):
             seeded = min(x0.shape[1], p - rigid_cols)
             x = x.at[:, rigid_cols:rigid_cols + seeded].set(
                 jnp.asarray(np.asarray(x0)[:, :seeded], jnp.float32))
+        fill = p - rigid_cols - seeded
+        if (fill > 0 and isinstance(precond, AmgPrecond)
+                and os.environ.get("MESHEDITOR_TPU_SEED_COARSE", "1") != "0"):
+            # Coarse spectral seed: prolongated Ritz vectors of the AMG coarse
+            # pencil replace the gaussian fill — the outer iteration starts at
+            # coarse-grid accuracy instead of from noise (see amg.spectral_seed).
+            from .amg import spectral_seed
+
+            sp = spectral_seed(precond, fill, seed=seed)
+            if sp is not None:
+                x = x.at[:, rigid_cols + seeded:].set(sp)
         x, a, b = _f32_init_stage(op_state, x)
         s_hint = jnp.asarray(0.0, jnp.float64)
         theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
