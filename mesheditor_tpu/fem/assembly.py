@@ -58,6 +58,11 @@ class ElementOperators:
 
     Fields:
       elem_dofs: (E, 30) int32 — global dof of each element-local dof (3*node + component)
+      elem_nodes: (E, 10) int32 — global quadratic-node ids (= elem_dofs[:, ::3] // 3).
+                 The f32 applies gather/scatter at NODE granularity: rows of width 3p
+                 instead of p — same bytes, 3x fewer random rows, and the
+                 (10, 3p) <-> (30, p) hop is a pure reshape because the dof layout is
+                 (node, component)-major. Measured 1.5x on the whole apply on a v5e.
       k_blocks:  (E, 30, 30) f64 — per-element stiffness
       k_blocks_f32: f32 copy for the preconditioner path — inner solves are a
                     preconditioner, so bf16-class MXU matmuls are plenty, and they run
@@ -71,6 +76,7 @@ class ElementOperators:
     """
 
     elem_dofs: jax.Array
+    elem_nodes: jax.Array
     k_blocks: jax.Array
     k_blocks_f32: jax.Array
     k_lo: jax.Array
@@ -98,9 +104,7 @@ class ElementOperators:
 
         The f32 panel is the eigensolver's iterate — casting it to f64 is exact — so
         the only precision question is the OPERATOR's: k_hi + k_lo captures K to
-        ~eps32^2 and both products run as f32-input einsums with f64 accumulation,
-        ~7x cheaper than the chunked emulated-f64 `kmat` at bench scale (the f64
-        apply spends its time in f64 gathers and the doubled-width expansion).
+        ~eps32^2 and both products run as f32-input einsums with f64 accumulation.
         Residual-of-a-converged-column cancellation (~1e5-6x at FEM conditioning)
         amplifies the 2^-48 operator truncation to ~3e-9 relative on the wanted
         Rayleigh quotients — two decades under the f32 subspace floor."""
@@ -108,20 +112,34 @@ class ElementOperators:
         return self._fix(y, x.astype(jnp.float64), self.k_fix)
 
     def kmat_f32(self, x: jax.Array) -> jax.Array:
-        y = _apply_k(self.elem_dofs, self.k_blocks_f32, x, self.n_dofs)
+        y = _apply_node(self.elem_nodes, self.k_blocks_f32, x, self.n_dofs)
         return self._fix(y, x, self.k_fix.astype(jnp.float32))
 
     def mmat_f32(self, x: jax.Array) -> jax.Array:
-        y = _apply_m(self.elem_dofs, self.rho_vol_f32, self.m_unit.astype(jnp.float32),
-                     x, self.n_dofs)
+        mb = self.rho_vol_f32[:, None, None] * self.m_unit.astype(jnp.float32)[None]
+        y = _apply_node(self.elem_nodes, mb, x, self.n_dofs)
         return self._fix(y, x, self.m_fix.astype(jnp.float32))
+
+    def kmmat_f32(self, x: jax.Array):
+        """(K x, M x) for an f32 panel through ONE gather/scatter pass.
+
+        The element matmuls are the cheap part of the apply (MXU); the random-row
+        gather + segment-sum dominate. K and M share the exact same incidence, so
+        fusing them halves that cost: one xe gather feeds both einsums, and the two
+        (E, 10, 3p) products concatenate into (E, 10, 6p) rows for a single
+        segment-sum."""
+        mb = self.rho_vol_f32[:, None, None] * self.m_unit.astype(jnp.float32)[None]
+        kx, mx = _apply_node_pair(self.elem_nodes, self.k_blocks_f32, mb, x, self.n_dofs)
+        kf = self.k_fix.astype(jnp.float32)
+        mf = self.m_fix.astype(jnp.float32)
+        return self._fix(kx, x, kf), self._fix(mx, x, mf)
 
 
 jax.tree_util.register_dataclass(
     ElementOperators,
     data_fields=(
-        "elem_dofs", "k_blocks", "k_blocks_f32", "k_lo", "rho_vol", "rho_vol_f32",
-        "m_unit", "k_fix", "m_fix",
+        "elem_dofs", "elem_nodes", "k_blocks", "k_blocks_f32", "k_lo", "rho_vol",
+        "rho_vol_f32", "m_unit", "k_fix", "m_fix",
     ),
     meta_fields=("n_dofs",),
 )
@@ -136,19 +154,19 @@ class ShiftedElementOperator:
     applying K and M separately (the shift-combination is linear in the element blocks:
     A_e = K_e - sigma * rho*V_e * m_unit)."""
 
-    elem_dofs: jax.Array
+    elem_nodes: jax.Array  # (E, 10) int32 — node-granularity incidence
     a_blocks: jax.Array  # (E, 30, 30) f32
     a_fix: jax.Array  # (n_dofs,) f32 orphan-dof fixup, see ElementOperators.k_fix
     n_dofs: int
 
     def amat(self, x: jax.Array) -> jax.Array:
-        y = _apply_k(self.elem_dofs, self.a_blocks, x, self.n_dofs)
+        y = _apply_node(self.elem_nodes, self.a_blocks, x, self.n_dofs)
         return y + (self.a_fix[:, None] * x if x.ndim > 1 else self.a_fix * x)
 
 
 jax.tree_util.register_dataclass(
     ShiftedElementOperator,
-    data_fields=("elem_dofs", "a_blocks", "a_fix"),
+    data_fields=("elem_nodes", "a_blocks", "a_fix"),
     meta_fields=("n_dofs",),
 )
 
@@ -167,7 +185,7 @@ def bake_shifted_f32(ops: ElementOperators, sigma: float) -> ShiftedElementOpera
         ops.k_blocks_f32, ops.rho_vol_f32, ops.m_unit, ops.k_fix, ops.m_fix,
         jnp.float32(sigma),
     )
-    return ShiftedElementOperator(ops.elem_dofs, a, fix, ops.n_dofs)
+    return ShiftedElementOperator(ops.elem_nodes, a, fix, ops.n_dofs)
 
 
 # Elements per matvec chunk: f64 dots on TPU are emulated by algebraic expansion, whose
@@ -201,6 +219,56 @@ def _chunked_apply(elem_dofs, x, n_dofs, per_chunk, chunking: bool):
         return acc + jax.ops.segment_sum(flat, dofs_c.reshape(-1), num_segments=n_dofs)
 
     return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros(out_shape, dtype=x.dtype))
+
+
+def _apply_node(elem_nodes, blocks, x, n_dofs):
+    """y = A @ x from (E, 30, 30) element blocks, gather/scatter at NODE granularity.
+
+    The dof layout is (node, component)-major, so x.reshape(n_nodes, 3p) has each
+    node's (3, p) slab contiguous in one row: the gather pulls (E, 10) rows of width
+    3p (3x fewer random rows than dof granularity for the same bytes) and the
+    (E, 10, 3p) <-> (E, 30, p) hops are free reshapes. The segment-sum likewise runs
+    over E*10 rows instead of E*30. Measured on a v5e at bench scale (E=9.7k,
+    p=256): 14.3 ms -> 9.7 ms per apply."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    p = x.shape[1]
+    n_nodes = n_dofs // 3
+    e = elem_nodes.shape[0]
+    x3 = x.reshape(n_nodes, 3 * p)
+    xe = x3[elem_nodes].reshape(e, 30, p)
+    ye = jnp.einsum("eij,ejp->eip", blocks, xe)
+    y3 = jax.ops.segment_sum(
+        ye.reshape(e * 10, 3 * p), elem_nodes.reshape(-1), num_segments=n_nodes
+    )
+    y = y3.reshape(n_dofs, p)
+    return y[:, 0] if squeeze else y
+
+
+def _apply_node_pair(elem_nodes, k_blocks, m_blocks, x, n_dofs):
+    """(K x, M x) with one gather and one segment-sum (rows of width 6p): the two
+    element products concatenate along the row axis before the scatter. See
+    ElementOperators.kmmat_f32."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    p = x.shape[1]
+    n_nodes = n_dofs // 3
+    e = elem_nodes.shape[0]
+    x3 = x.reshape(n_nodes, 3 * p)
+    xe = x3[elem_nodes].reshape(e, 30, p)
+    ye_k = jnp.einsum("eij,ejp->eip", k_blocks, xe).reshape(e, 10, 3 * p)
+    ye_m = jnp.einsum("eij,ejp->eip", m_blocks, xe).reshape(e, 10, 3 * p)
+    ye = jnp.concatenate([ye_k, ye_m], axis=2)  # (E, 10, 6p)
+    y3 = jax.ops.segment_sum(
+        ye.reshape(e * 10, 6 * p), elem_nodes.reshape(-1), num_segments=n_nodes
+    )
+    kx = y3[:, : 3 * p].reshape(n_dofs, p)
+    mx = y3[:, 3 * p :].reshape(n_dofs, p)
+    if squeeze:
+        return kx[:, 0], mx[:, 0]
+    return kx, mx
 
 
 def _apply_k(elem_dofs, k_blocks, x, n_dofs):
@@ -409,6 +477,7 @@ def assemble_element_matrices(
     k_hi = k_blocks.astype(jnp.float32)
     return ElementOperators(
         elem_dofs=elem_dofs,
+        elem_nodes=nodes,
         k_blocks=k_blocks.astype(dtype),
         k_blocks_f32=k_hi,
         k_lo=(k_blocks.astype(jnp.float64) - k_hi.astype(jnp.float64)).astype(jnp.float32),

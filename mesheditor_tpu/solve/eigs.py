@@ -1,0 +1,531 @@
+"""Orthonormal-basis blocked eigensolver for the FEM pencil (K, M) — the production
+TPU path (round-3 redesign of solve/lobpcg.py's f32 stage).
+
+Replaces the reference's sparse-Cholesky shift-invert subspace iteration
+(src/audio/mesh2modes.cpp:339-512) with LOBPCG whose inner solve is AMG-preconditioned
+CG on the shifted pencil. The round-2 engine whitened the [X | W | P] basis at the GRAM
+level; on real pencils the W/P blocks grow near-collinear as the iteration converges, so
+the mass Gram's condition number reaches ~1e11 and its f32 eigendecomposition (the only
+fast eigh on TPU) mixes the recombination weights at ~1e-2..1e-1 — measured as the outer
+iteration contracting at only ~0.77/iteration while the identical loop under a host f64
+LAPACK Rayleigh-Ritz contracts at ~0.19/iteration. The disease was never the eigensolve
+of the projected PENCIL (whose Rayleigh quotients are moderate — the AMG-preconditioned
+residuals are spectrally smooth); it was whitening an ill-conditioned mass Gram.
+
+This engine therefore keeps the BASIS M-orthonormal by construction:
+
+- W (the preconditioned residual block) and P (momentum) are explicitly M-projected
+  against X and CholQR'd against themselves (two passes) every iteration, so the mass
+  Gram is I + O(1e-6) and the Rayleigh-Ritz never whitens anything ill-conditioned.
+- All basis panels (S, K S, M S) are CARRIED in f32 through recombinations. Safe
+  because the basis is spectrally SMOOTH: every column is either a Ritz vector, an
+  AMG-preconditioned residual, or a momentum difference — Rayleigh quotients stay
+  within ~20x of the wanted window (measured max ~1.5e12 against a 7e10 window top on
+  the bench pencil, nothing near the 1e16 lambda_max), so the f32 recombination
+  cancellation is ~eps32 * 20, not the eps32 * 1e5 catastrophe that forbade carrying
+  panels in round 2 (whose random fill columns carried lambda_max-scale energy; the
+  fill here is always coarse-spectral or preconditioned — see the seeding contract in
+  lobpcg.lobpcg_pencil).
+- The X-block Grams evolve by exact f64 congruence (c^T a c), so the settling values
+  are deterministic across iterations: no per-iteration measurement noise enters the
+  convergence criterion. Fresh cross/W/P Gram blocks are measured by a CHUNKED
+  f32-with-f64-chunk-sum matmul (`gram64c`): full-f32 MXU products per 512-row chunk
+  with the chunk partials summed in f64 — ~15x faster than the emulated-f64-accumulation
+  einsum and within ~3e-6 relative of it, second-order for the wanted Ritz values.
+- The Rayleigh-Ritz runs ON DEVICE as a spectral fold over the ORTHONORMAL basis:
+  Cholesky-whiten (a + s*b) in f64 (pure triangular work — fast on TPU, unlike f64
+  eigh which is emulated and takes minutes), f32 eigh of the folded inverse whose
+  wanted modes sit at the TOP of the spectrum, Sylvester refinement against the f64
+  fold, then a second fold inside the selected window. With b ~ I the fold is
+  numerically clean; the returned Ritz values are exact f64 Rayleigh quotients.
+
+Reference semantics preserved: settling criterion (mesh2modes.cpp:403-410), JobMonitor
+cancellation (empty result), warm starts (mesh2modes.h:63-68), deterministic seeding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Chunk of the long (n) axis per f32 Gram product. Per-chunk f32 accumulation noise is
+# ~sqrt(chunk)*eps32 relative to the entry's own term scale (~2.7e-6 at 512); the f64
+# chunk-sum contributes nothing. Smaller chunks buy accuracy linearly in chunk count.
+GRAM_CHUNK = 512
+
+
+def _precise(fn):
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def gram64c(u, v):
+    """u^T v for f32 (n, i), (n, j) panels, f64-grade via chunked f32 MXU products.
+
+    Each 512-row chunk is one full-f32 einsum (exact-to-eps32 per chunk); chunk
+    partials are cast and summed in f64. Replaces the emulated-f64-accumulation
+    einsum (jnp.einsum(..., preferred_element_type=f64)), which cannot use the MXU's
+    native accumulators and measured ~73 ms per (44k, 271)^2 Gram on a v5e — this
+    form runs the same product in a few ms."""
+    n = u.shape[0]
+    pad = (-n) % GRAM_CHUNK
+    if pad:
+        u = jnp.pad(u, ((0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0)))
+    uc = u.reshape(-1, GRAM_CHUNK, u.shape[1])
+    vc = v.reshape(-1, GRAM_CHUNK, v.shape[1])
+    parts = jnp.einsum("cni,cnj->cij", uc, vc)  # f32, one MXU pass per chunk
+    return jnp.sum(parts.astype(jnp.float64), axis=0)
+
+
+def _col_dots(a, b):
+    return jnp.einsum("np,np->p", a, b, preferred_element_type=jnp.float64)
+
+
+def _refine_sym(g, v, passes=2, cluster_rel=1e-5):
+    """First-order Sylvester refinement of approximate eigenvectors `v` of the
+    symmetric f64 matrix `g` (see solve/lobpcg.py:_refine_sym for the full story).
+    Pure matmuls: squares the f32-eigh vector error per pass; near-degenerate pairs
+    (relative gap < cluster_rel) are left alone — intra-cluster rotations are
+    physically arbitrary."""
+    k = v.shape[1]
+    eye_mask = 1.0 - jnp.eye(k, dtype=v.dtype)
+
+    def one(v, _):
+        gv = g @ v
+        e = v.T @ gv
+        lam = jnp.diagonal(e)
+        den = lam[None, :] - lam[:, None]
+        mag = jnp.abs(lam)[None, :] + jnp.abs(lam)[:, None]
+        ok = jnp.abs(den) > cluster_rel * mag + 1e-300
+        x = jnp.where(ok, e / jnp.where(ok, den, 1.0), 0.0) * eye_mask
+        x = jnp.where(jnp.abs(x) > 0.1, 0.0, x)
+        v = v + v @ x
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-300)
+        return v, None
+
+    v, _ = jax.lax.scan(one, v, None, length=passes)
+    return v
+
+
+def _rr_fold(a, b, p_want: int, s_hint):
+    """Device Rayleigh-Ritz of the (3p)^2 f64 pencil (a, b) with b ~ I (the basis is
+    M-orthonormal by construction — see module docstring). Returns (theta (p,) f64
+    ascending exact Rayleigh quotients, c (3p, p) f64 b-orthonormal weights).
+
+    Spectral fold: the wanted (lowest) modes of h = b^{-1/2} a b^{-1/2} become the TOP
+    of g = (h + s)^{-1}, where f32 eigh's absolute eps32*||g|| noise is relatively
+    small; refinement against the f64 g recovers the rest. A second fold inside the
+    selected window re-resolves the low-frequency end. f64 eigh is never used (it is
+    software-emulated on TPU and takes minutes at this size); f64 Cholesky +
+    triangular solves are direct algorithms and stay fast."""
+    f64 = jnp.float64
+    n3 = a.shape[0]
+    a = 0.5 * (a + a.T)
+    b = 0.5 * (b + b.T)
+    # Dead columns (zeroed by the basis construction) have b_jj = 0: park them with a
+    # unit mass and an above-window stiffness so they sort far past p_want.
+    db = jnp.diagonal(b)
+    dead = db < 0.5
+    amax = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(a))), 1.0)
+    a = a + jnp.diag(jnp.where(dead, 10.0 * amax, 0.0))
+    b = b + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    # The shift must dominate the NEGATIVE noise floor of near-rigid Rayleigh
+    # quotients (f32-apply noise makes true-zero eigenvalues read ~ -eps32 * ||K x||,
+    # measured -7e6 on a 5 cm ceramic sphere) or the Cholesky goes indefinite.
+    neg = jnp.maximum(-jnp.min(jnp.diagonal(a)), 0.0)
+    s = jnp.maximum(jnp.maximum(s_hint.astype(f64), 1e-7 * amax), 1.0)
+    s = jnp.maximum(s, 8.0 * neg)
+    # Whiten through the shifted pencil: ell ell^T = a + s b, g = ell^-1 b ell^-T.
+    # Eigenpairs (mu, y) of g give pencil Ritz pairs theta = 1/mu - s, c = ell^-T y.
+    ell = jnp.linalg.cholesky(a + s * b)
+    linv = jax.scipy.linalg.solve_triangular(ell, jnp.eye(n3, dtype=f64), lower=True)
+    g = linv @ (b @ linv.T)
+    g = 0.5 * (g + g.T)
+    y = _refine_sym(g, jnp.linalg.eigh(g.astype(jnp.float32))[1].astype(f64))
+    mu = jnp.einsum("ij,ij->j", y, g @ y)
+    order1 = jnp.argsort(-mu)
+    c1 = linv.T @ y[:, order1[:p_want]]
+    # Second fold inside the selected window: resolves the low-theta end that the wide
+    # fold compresses (all wanted mu cluster near the top when s ~ window top).
+    a2 = c1.T @ (a @ c1)
+    b2 = c1.T @ (b @ c1)
+    a2 = 0.5 * (a2 + a2.T)
+    b2 = 0.5 * (b2 + b2.T) + 1e-12 * jnp.eye(p_want, dtype=f64)
+    d2 = jnp.diagonal(a2) / jnp.diagonal(b2)
+    d_max = jnp.maximum(jnp.max(d2), 1.0)
+    d_min = jnp.maximum(jnp.min(d2), 1e-9 * d_max)
+    s2 = jnp.sqrt(d_min * d_max)
+    s2 = jnp.maximum(s2, 8.0 * jnp.maximum(-jnp.min(d2), 0.0))  # see `neg` above
+    ell2 = jnp.linalg.cholesky(a2 + s2 * b2)
+    e_p = jnp.eye(p_want, dtype=f64)
+    l2inv = jax.scipy.linalg.solve_triangular(ell2, e_p, lower=True)
+    g2 = l2inv @ (b2 @ l2inv.T)
+    g2 = 0.5 * (g2 + g2.T)
+    y2 = _refine_sym(g2, jnp.linalg.eigh(g2.astype(jnp.float32))[1].astype(f64))
+    mu2 = jnp.einsum("ij,ij->j", y2, g2 @ y2)
+    c = c1 @ (l2inv.T @ y2[:, jnp.argsort(-mu2)])
+    # Exact f64 Rayleigh quotients of the returned columns, unit-b-norm, ascending.
+    ac = a @ c
+    bc = b @ c
+    num = jnp.einsum("ij,ij->j", c, ac)
+    den = jnp.maximum(jnp.einsum("ij,ij->j", c, bc), 1e-300)
+    theta = num / den
+    c = c * jax.lax.rsqrt(den)[None, :]
+    order = jnp.argsort(theta)
+    return theta[order], c[:, order]
+
+
+def _project_out(x, mx, w, *tail):
+    """Remove the M-projection of `w` (and its carried products in `tail`) onto the
+    M-orthonormal block (x, mx). Returns (w', *tail')."""
+    q = gram64c(mx, w).astype(jnp.float32)
+    out = [w - x @ q]
+    for t, tx in tail:
+        out.append(t - tx @ q)
+    return out
+
+
+def _kill_collapsed(pre2, w, mw, kw):
+    """Zero columns whose M-norm collapsed below sqrt(eps32)-grade of their
+    pre-projection norm: they are numerically inside the projected-out span, and
+    normalizing them would amplify projection noise into the basis (the same
+    live_eps discipline as solve/lobpcg.py)."""
+    post2 = _col_dots(w, mw)
+    live = post2 > 1e-8 * jnp.maximum(pre2, 1e-300)
+    live32 = live.astype(jnp.float32)[None, :]
+    return w * live32, mw * live32, kw * live32
+
+
+def _chol_qr_m(w, mw, kw, passes=2):
+    """M-orthonormalize the block `w` in place of its carried products: two-pass
+    CholQR against the f64-grade chunked Gram. Columns whose M-norm collapses below
+    ~1e-6 of the block scale are numerically dependent — they are ZEROED (the
+    Rayleigh-Ritz parks their dead slots above the window) rather than normalized
+    into noise amplifiers. All updates are column operations, so the carried K/M
+    products transform exactly alongside."""
+    k = w.shape[1]
+    for _ in range(passes):
+        # Column equilibration first: unit M-norm (dead columns -> exact zeros).
+        cn = _col_dots(w, mw)
+        live = cn > 1e-12 * jnp.maximum(jnp.max(cn), 1e-300)
+        d = jnp.where(live, jax.lax.rsqrt(jnp.where(live, cn, 1.0)), 0.0)
+        d32 = d.astype(jnp.float32)
+        w = w * d32[None, :]
+        mw = mw * d32[None, :]
+        kw = kw * d32[None, :]
+        # CholQR against the f64-grade Gram; dead rows/cols are masked out and their
+        # diagonal set to 1 so the factorization stays PD and leaves them zero. The
+        # ridge sits above the chunked-Gram noise floor (~3e-6 per entry): near-
+        # dependent column sets would otherwise push the Gram indefinite and NaN the
+        # Cholesky. The resulting O(1e-5) orthonormality slack is carried into the
+        # Rayleigh-Ritz, which solves the GENERALIZED pencil (it never assumes b=I).
+        g = gram64c(w, mw)
+        g = 0.5 * (g + g.T)
+        livec = jnp.diagonal(g) > 0.5  # live columns have unit diagonal here
+        mask = livec[:, None] & livec[None, :]
+        g = jnp.where(mask, g, 0.0) + jnp.diag(jnp.where(livec, 3e-5, 1.0))
+        ell = jnp.linalg.cholesky(g)
+        li_t = jax.scipy.linalg.solve_triangular(
+            ell, jnp.eye(k, dtype=jnp.float64), lower=True
+        ).T.astype(jnp.float32)
+        live32 = livec.astype(jnp.float32)[None, :]
+        w = (w @ li_t) * live32
+        mw = (mw @ li_t) * live32
+        kw = (kw @ li_t) * live32
+    return w, mw, kw
+
+
+@jax.jit
+@_precise
+def _init_stage(ops, x):
+    """Seed panel -> M-orthonormal X block with carried products, grams, and the
+    first Rayleigh-Ritz. W/P slots start as dead (zero) columns; the fold parks them
+    above the window."""
+    kx, mx = ops.kmmat_f32(x)
+    x, mx, kx = _chol_qr_m(x, mx, kx)
+    z = jnp.zeros_like(x)
+    s = jnp.concatenate([x, z, z], 1)
+    ks = jnp.concatenate([kx, z, z], 1)
+    ms = jnp.concatenate([mx, z, z], 1)
+    a = gram64c(s, ks)
+    b = gram64c(s, ms)
+    a = 0.5 * (a + a.T)
+    b = 0.5 * (b + b.T)
+    p = x.shape[1]
+    s_hint = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(a)[:p])), 1.0)
+    theta, c = _rr_fold(a, b, p, s_hint)
+    return s, ks, ms, a, b, theta, c
+
+
+@partial(jax.jit, static_argnames=("inner_iters", "refresh"))
+@_precise
+def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
+                inner_iters, abs_sigma, refresh: bool = False):
+    """One full LOBPCG iteration, Rayleigh-Ritz included — a single device program.
+
+    Recombine [X | P] from the carried f32 panels (the basis is spectrally smooth, so
+    the recombination cancellation is bounded — module docstring), evolve the X Grams
+    by exact f64 congruence (settling values carry no per-iteration measurement
+    noise), form residuals, precondition (AMG-PCG), then rebuild an M-orthonormal
+    [X | W | P] basis: W/P are M-projected against X (and P against W) and CholQR'd.
+    One fused K/M apply per iteration (on W); everything else is matmuls.
+    """
+    from .lobpcg import _pcg_block
+
+    f32 = jnp.float32
+    p = c.shape[1]
+    c32 = c.astype(f32)
+    c_wp = jnp.where((jnp.arange(c.shape[0]) >= p)[:, None], c32, jnp.zeros_like(c32))
+    x = s @ c32
+    kx = ks @ c32
+    mx = ms @ c32
+    pdir = s @ c_wp
+    kp = ks @ c_wp
+    mp = ms @ c_wp
+
+    # Exact congruence of the carried X Grams + fresh unit-M-norm scaling.
+    axx = c.T @ (a @ c)
+    bxx = c.T @ (b @ c)
+    dbx = jnp.diagonal(bxx)
+    livex = dbx > 1e-12
+    dx = jnp.where(livex, jax.lax.rsqrt(jnp.where(livex, dbx, 1.0)), 0.0)
+    dx32 = dx.astype(f32)
+    x = x * dx32[None, :]
+    kx = kx * dx32[None, :]
+    mx = mx * dx32[None, :]
+    axx = axx * dx[:, None] * dx[None, :]
+    bxx = bxx * dx[:, None] * dx[None, :]
+    if refresh:
+        # Re-anchor iteration: fresh fused K/M applies on X and P replace the carried
+        # panels, and the X Grams are re-measured. The f32 carry drifts slowly
+        # (compounding recombination roundoff, measured ~1e-5-relative per ~10
+        # iterations once converged); a refresh every few iterations caps it. The
+        # fresh Gram values jitter at the f32-apply noise (~5e-5 relative on
+        # converged columns), so refresh iterations reset the settling streak — the
+        # schedule leaves enough clean congruence iterations in between to settle.
+        kx, mx = ops.kmmat_f32(x)
+        kp, mp = ops.kmmat_f32(pdir)
+        axx = gram64c(x, kx)
+        bxx = gram64c(x, mx)
+    theta = jnp.diagonal(axx) / jnp.maximum(jnp.diagonal(bxx), 1e-300)
+
+    r = kx - mx * theta.astype(f32)[None, :]
+    res_norm = jnp.sqrt(_col_dots(r, r))
+    rel = res_norm / (
+        jnp.sqrt(_col_dots(kx, kx))
+        + abs_sigma * jnp.sqrt(_col_dots(mx, mx))
+        + 1e-300
+    )
+
+    w = _pcg_block(shifted.amat, precond, r, inner_iters)
+    # Rigid deflation: the rigid-body modes are solved EXACTLY outside this loop
+    # (they are known in closed form; lobpcg_pencil prepends them with eigenvalue 0).
+    # Near-zero eigenvalues have no relative scale, so inside an f32-carried basis
+    # they drift without bound — measured as accelerating negative rigid Ritz values
+    # blocking the settled prefix forever. Keeping them out entirely is both faster
+    # (narrower panel) and the clamp VERDICT r2 #10 asked for.
+    w = w - rigid @ (m_rigid.T @ w)
+    pre2_w = _col_dots(w, ops.mmat_f32(w))
+    (w,) = _project_out(x, mx, w)
+    kw, mw = ops.kmmat_f32(w)
+    w, mw, kw = _kill_collapsed(pre2_w, w, mw, kw)
+    w, mw, kw = _chol_qr_m(w, mw, kw)
+
+    pre2_p = _col_dots(pdir, mp)
+    pdir, kp, mp = _project_out(x, mx, pdir, (kp, kx), (mp, mx))
+    pdir, kp, mp = _project_out(w, mw, pdir, (kp, kw), (mp, mw))
+    pdir, mp, kp = _kill_collapsed(pre2_p, pdir, mp, kp)
+    pdir, mp, kp = _chol_qr_m(pdir, mp, kp)
+
+    s2 = jnp.concatenate([x, w, pdir], 1)
+    ks2 = jnp.concatenate([kx, kw, kp], 1)
+    ms2 = jnp.concatenate([mx, mw, mp], 1)
+    a2 = gram64c(s2, ks2)
+    b2 = gram64c(s2, ms2)
+    a2 = 0.5 * (a2 + a2.T)
+    b2 = 0.5 * (b2 + b2.T)
+    # The X block keeps its congruence-carried (noise-free) values.
+    a2 = a2.at[:p, :p].set(axx)
+    b2 = b2.at[:p, :p].set(bxx)
+    s_hint = theta[p - 1]
+    theta2, c2 = _rr_fold(a2, b2, p, s_hint)
+    return s2, ks2, ms2, a2, b2, c2, theta2, rel, res_norm
+
+
+@jax.jit
+@_precise
+def _extract(s, c):
+    return s @ c.astype(s.dtype)
+
+
+@jax.jit
+@_precise
+def smooth_panel(shifted, precond, z):
+    """Spectrally smooth a random panel by one preconditioner application (plus a
+    damped-Jacobi touch-up when the preconditioner is a bare inverse diagonal): the
+    ortho engine's f32 panel carry requires basis columns with window-scale Rayleigh
+    quotients, and raw gaussian noise carries lambda_max-scale energy."""
+    from .amg import AmgPrecond
+
+    if isinstance(precond, AmgPrecond):
+        return precond.apply(shifted.amat, z)
+    inv_diag = precond
+    return inv_diag[:, None] * z
+
+
+def ortho_lobpcg(
+    ops,
+    shifted,
+    precond,
+    x_seed,
+    n: int,
+    nev: int,
+    p: int,
+    sigma: float,
+    tol: float,
+    max_iters: int,
+    inner_iters: int,
+    rigid=None,
+    m_rigid=None,
+    callback=None,
+    debug: bool = False,
+):
+    """Driver loop: pipelined settling checks on the congruence-carried Ritz values
+    (the reference's SubspaceIterate criterion, mesh2modes.cpp:403-410), with the
+    relative-residual certificate as a secondary exit. Returns
+    (lam (nev,), x (n, nev) device, iterations, op_count, res_norms) or None on
+    cancellation / non-convergence (callers fall back per lobpcg_pencil.fail)."""
+    import time as _time
+
+    sig_d = jnp.asarray(abs(sigma), jnp.float64)
+    if rigid is None:
+        rigid = jnp.zeros((n, 1), jnp.float32)
+        m_rigid = jnp.zeros((n, 1), jnp.float32)
+    s, ks, ms, a, b, theta_d, c = _init_stage(ops, x_seed)
+    ops_count = 3
+    prev = np.full(p, np.inf)
+    streak = 0
+    streak_needed = 2
+    floor_rel = 1e-7
+    # The f32-carried residual panel floors around eps32 * (theta_basis_max / theta)
+    # — ~2e-4 relative on the lowest modes (module docstring); the residual exit is
+    # therefore bounded below at 3e-4 and settling is the primary criterion.
+    # Eigenvalue error is quadratic in the relative residual, so rel < 1e-3
+    # certifies ~1e-6-relative values (500x inside the 0.1% frequency-parity gate);
+    # tighter tolerances tighten the certificate as sqrt.
+    res_exit = min(1e-3, max(3.16e-4, (tol * 1e3) ** 0.5))
+    pending = None
+    rel_d = None
+    res_d = None
+    lam = None
+    last_t = [_time.perf_counter()]
+    best_settled = -1
+    since_improve = 0
+    refresh_every = 4
+
+    for it in range(1, max_iters + 1):
+        refresh = it % refresh_every == 0
+        s, ks, ms, a, b, c, theta_d, rel_d, res_d = _iter_stage(
+            ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
+            inner_iters, sig_d, refresh=refresh,
+        )
+        ops_count += 3 + inner_iters + (3 if refresh else 0)
+        if pending is not None:
+            status, lam = _check(
+                pending, prev, nev, tol, sigma, floor_rel, res_exit, callback,
+                debug, last_t,
+            )
+            prev = lam if lam is not None else prev
+            if status == "cancel":
+                return None, "cancel", it, ops_count
+            if status == "nan":
+                return None, "nan", it, ops_count
+            streak = streak + 1 if status in ("settled", "certified") else 0
+            if streak >= streak_needed or status == "certified":
+                _pit, _th, _rl, p_res, p_s, p_c = pending
+                x_out = _extract(p_s, p_c)  # full (n, p) panel; callers slice
+                res = np.asarray(jax.device_get(p_res))
+                return (
+                    (lam.copy(), x_out, it, ops_count, res),
+                    "done", it, ops_count,
+                )
+            if _SETTLED_COUNT[0] > best_settled:
+                best_settled, since_improve = _SETTLED_COUNT[0], 0
+            else:
+                since_improve += 1
+            if since_improve >= 10 and it >= 16:
+                # Stagnation: the f32 phase is at its floor (carry drift or a weak
+                # preconditioner); hand the panel to the drift-free f64 polish.
+                _pit, _th, _rl, p_res, p_s, p_c = pending
+                x_out = _extract(p_s, p_c)
+                res = np.asarray(jax.device_get(p_res))
+                return (
+                    (lam.copy(), x_out, it, ops_count, res),
+                    "handoff", it, ops_count,
+                )
+        pending = (it, theta_d, rel_d, res_d, s, c)
+
+    status, lam = _check(
+        pending, prev, nev, tol, sigma, floor_rel, res_exit, callback, debug, last_t
+    )
+    if status in ("settled", "certified") and lam is not None:
+        _pit, _th, _rl, p_res, p_s, p_c = pending
+        x_out = _extract(p_s, p_c)
+        res = np.asarray(jax.device_get(p_res))
+        return (
+            (lam.copy(), x_out, max_iters, ops_count, res),
+            "done", max_iters, ops_count,
+        )
+    return None, "noconv", max_iters, ops_count
+
+
+_SETTLED_COUNT = [0]  # side channel: _check's latest settled prefix, read by the driver
+
+
+def _check(pending, prev, nev, tol, sigma, floor_rel, res_exit, callback, debug, last_t):
+    """Host-side settling + residual certificate, one iteration behind the device."""
+    import time as _time
+
+    from .lobpcg import _settled_prefix
+
+    it, theta_d, rel_d, res_d, _s, _c = pending
+    lam = np.asarray(jax.device_get(theta_d), np.float64)
+    if not np.isfinite(lam[:nev]).all():
+        return "nan", None
+    settled, rel_set, _delta, _window = _settled_prefix(
+        lam, prev, nev, tol, sigma, floor_rel
+    )
+    _SETTLED_COUNT[0] = settled
+    certified = False
+    if rel_d is not None:
+        rel_h = np.asarray(jax.device_get(rel_d), np.float64)
+        finite = np.isfinite(rel_h[:nev]).all()
+        if finite and float(rel_h[:nev].max()) < res_exit:
+            certified = True
+    if debug:
+        now = _time.perf_counter()
+        dt, last_t[0] = now - last_t[0], now
+        j = min(settled, nev - 1)
+        relmax = float(np.asarray(jax.device_get(rel_d))[:nev].max()) if rel_d is not None else -1.0
+        print(
+            f"[ortho] it={it} settled={settled}/{nev} lam_j={lam[j]:.6e} "
+            f"set_rel={rel_set[j]:.2e} res_max={relmax:.2e} dt={dt:.2f}s",
+            flush=True,
+        )
+    if callback is not None and callback(it, settled):
+        return "cancel", lam
+    if certified:
+        return "certified", lam
+    if settled >= nev:
+        return "settled", lam
+    return "run", lam

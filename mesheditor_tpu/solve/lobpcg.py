@@ -907,6 +907,7 @@ def lobpcg_pencil(
     from .amg import AmgPrecond
 
     rigid_cols = 0
+    raw_fill = True  # gaussian fill columns remain (lambda_max-scale energy)
     with profile.scope("eig/f32_init"):
         key = jax.random.PRNGKey(seed)
         x = jax.random.normal(key, (n, p), dtype=jnp.float32)
@@ -919,6 +920,7 @@ def lobpcg_pencil(
             x = x.at[:, rigid_cols:rigid_cols + seeded].set(
                 jnp.asarray(np.asarray(x0)[:, :seeded], jnp.float32))
         fill = p - rigid_cols - seeded
+        raw_fill = fill > 0
         if (fill > 0 and isinstance(precond, AmgPrecond)
                 and os.environ.get("MESHEDITOR_TPU_SEED_COARSE", "1") != "0"):
             # Coarse spectral seed: prolongated Ritz vectors of the AMG coarse
@@ -929,6 +931,70 @@ def lobpcg_pencil(
             sp = spectral_seed(precond, fill, seed=seed)
             if sp is not None:
                 x = x.at[:, rigid_cols + seeded:].set(sp)
+                raw_fill = False
+
+    engine = os.environ.get("MESHEDITOR_TPU_ENGINE", "ortho")
+    if engine == "ortho" and isinstance(precond, AmgPrecond) and rigid_cols < nev:
+        # The ortho engine (solve/eigs.py) solves the ELASTIC spectrum only: the
+        # rigid-body modes are known in closed form (the AMG's M-orthonormal rigid
+        # basis), so they are deflated out of the iteration and prepended to the
+        # result with eigenvalue EXACTLY 0 — near-zero Ritz values have no relative
+        # scale inside an f32-carried basis (they drift without bound and would block
+        # the settling prefix), and exact zeros are what the postprocess contract
+        # wants anyway (no negative near-rigid values leak to callers).
+        from .eigs import ortho_lobpcg, smooth_panel
+
+        nev_e = nev - rigid_cols
+        p_e = p - rigid_cols
+        x_e = x[:, rigid_cols:]
+        if raw_fill:
+            # The ortho engine carries K S / M S panels in f32, which requires a
+            # spectrally SMOOTH basis (see solve/eigs.py); raw gaussian columns
+            # carry lambda_max-scale energy, so smooth them through the
+            # preconditioner.
+            lo = seeded
+            x_e = x_e.at[:, lo:].set(smooth_panel(shifted, inv_diag32, x_e[:, lo:]))
+        tol32 = max(tol, 3e-7)
+        need_polish64 = tol < 3e-7
+        res, status, o_iters, o_ops = ortho_lobpcg(
+            op_state, shifted, inv_diag32, x_e, n, nev_e, p_e, sigma, tol32,
+            max_iters, inner_iters, rigid=precond.rigid, m_rigid=precond.m_rigid,
+            callback=callback, debug=debug,
+        )
+        if status == "cancel":
+            return fail(o_iters, o_ops, "cancel")
+        if res is None:
+            return fail(o_iters, o_ops, status)
+        lam_e, x_full, o_iters, o_ops, res_norm_e = res
+        if status == "handoff":
+            need_polish64 = True  # f32 floor reached before tol; polish owns the rest
+        if need_polish64:
+            # The f64 polish is NOT rigid-deflated — hand it the full
+            # [rigid | elastic] panel (rigid modes are exact f64 fixed points there,
+            # the old engine's discipline) and re-zero the rigid prefix after.
+            panel = jnp.concatenate(
+                [precond.rigid[:, :rigid_cols].astype(x_full.dtype), x_full], axis=1)
+            out = _polish_from_panel(
+                op_state, shifted, panel, p, nev, sigma, tol, inv_diag32,
+                inner_iters, callback, o_iters, o_ops, debug,
+            )
+            if out is None:
+                return fail(o_iters, o_ops)
+            lam = out.eigenvalues.copy()
+            lam[:rigid_cols] = 0.0  # exact rigid zeros at the solver boundary
+            return LobpcgResult(lam, out.eigenvectors, out.iterations,
+                                out.op_applications,
+                                residual_norms=out.residual_norms)
+        lam_e = lam_e[:nev_e]
+        x_vec = x_full[:, :nev_e]
+        res_norm_e = res_norm_e[:nev_e]
+        lam = np.concatenate([np.zeros(rigid_cols), lam_e])
+        vecs = jnp.concatenate(
+            [precond.rigid[:, :rigid_cols].astype(x_vec.dtype), x_vec], axis=1)
+        res_norm = np.concatenate([np.zeros(rigid_cols), np.asarray(res_norm_e)])
+        return LobpcgResult(lam, vecs, o_iters, o_ops, residual_norms=res_norm)
+
+    with profile.scope("eig/f32_init"):
         x, a, b = _f32_init_stage(op_state, x)
         s_hint = jnp.asarray(0.0, jnp.float64)
         theta_d, c = _rr_device(a, b, p, eps_b32, s_hint)
@@ -1070,6 +1136,12 @@ def lobpcg_pencil(
                 if profile.enabled:
                     jax.block_until_ready(c)
             a_prev, b_prev = a, b
+            if os.environ.get("MESHEDITOR_TPU_DUMP_GRAMS"):
+                d = os.environ["MESHEDITOR_TPU_DUMP_GRAMS"]
+                np.save(f"{d}/gram_a_{it:02d}.npy", np.asarray(jax.device_get(a)))
+                np.save(f"{d}/gram_b_{it:02d}.npy", np.asarray(jax.device_get(b)))
+                np.save(f"{d}/c_{it:02d}.npy", np.asarray(jax.device_get(c)))
+                np.save(f"{d}/theta_{it:02d}.npy", np.asarray(jax.device_get(theta_d)))
             s_hint = theta_d[p - 1]
             f32_iters = it + 1
             ops_count += 6 + inner_iters
@@ -1301,6 +1373,98 @@ def lobpcg_pencil(
             )
     # Convergence failed: host fallback (or empty when host-infeasible).
     return fail(f32_iters + polish_max, ops_count)
+
+
+def _polish_from_panel(op_state, shifted, x32_panel, p, nev, sigma, tol, precond32,
+                       inner_iters, callback, start_iters, ops_count, debug):
+    """f64 [X | W | P] Rayleigh-Ritz refinement of an f32-converged (n, p) panel —
+    the polish stage as a standalone function (host LAPACK Rayleigh-Ritz per
+    iteration; numerics documented on _polish_stage). Returns a LobpcgResult, or
+    None on cancellation/NaN (callers decide the fallback)."""
+    from .. import profile
+
+    _b32 = jax.jit(lambda m: m.astype(jnp.float32))
+
+    def _rr_host(a_dev, b_dev):
+        a_h = np.asarray(jax.device_get(a_dev), np.float64)
+        b_h = np.asarray(jax.device_get(_b32(b_dev)), np.float64)
+        return _solve_reduced(a_h, b_h, p)
+
+    polish_max = 40
+    streak_needed = 2
+    floor32 = 1e-7
+    tol_accept = max(tol, float(os.environ.get("MESHEDITOR_TPU_TOL_ACCEPT", "1e-4")))
+    polish_inner = int(os.environ.get("MESHEDITOR_TPU_POLISH_INNER", "0")) or inner_iters
+    polish_w32 = bool(int(os.environ.get("MESHEDITOR_TPU_POLISH_W32", "0")))
+
+    with profile.scope("eig/polish_init"):
+        x64 = jax.jit(lambda v: v.astype(jnp.float64))(x32_panel)
+        s64, ks64, ms64, a64, b64 = _polish_init(op_state, x64)
+        del x64
+        theta_h, c_h = _rr_host(a64, b64)
+        theta64_d = jnp.asarray(theta_h)
+        c64 = jnp.asarray(
+            np.concatenate([c_h, np.zeros((2 * p, p))], 0).astype(np.float32))
+        ops_count += 2
+        lam = theta_h.copy()
+    if not np.isfinite(lam[:nev]).all():
+        return None
+    prev = lam
+    streak = 0
+    accept_streak = 0
+    best_settled = -1
+    since_improve = 0
+    res_norm = None
+    with profile.scope("eig/polish_loop"):
+        for pit in range(polish_max):
+            with profile.scope("polish_stage"):
+                s64, ks64, ms64, a64, b64, res_d = _polish_stage(
+                    op_state, shifted, s64, ks64, ms64, c64, theta64_d, precond32,
+                    polish_inner, w_f32=polish_w32,
+                )
+            with profile.scope("rr_host"):
+                theta_h, c_h = _rr_host(a64, b64)
+            theta64_d = jnp.asarray(theta_h)
+            c64 = jnp.asarray(c_h.astype(np.float32))
+            ops_count += 2 + polish_inner
+            iterations = start_iters + pit + 1
+            lam_prev = prev
+            lam = theta_h
+            if not np.isfinite(lam[:nev]).all():
+                return None
+            prev = lam
+            settled, rel, _d, _w = _settled_prefix(lam, lam_prev, nev, tol, sigma, floor32)
+            if debug:
+                j = min(settled, nev - 1)
+                print(f"[polish] it={iterations} settled={settled}/{nev} "
+                      f"lam={lam[j]:.9e} rel={rel[j]:.3e}", flush=True)
+            if callback is not None and callback(iterations, settled):
+                return None
+            streak = streak + 1 if settled >= nev else 0
+            settled_acc, _, _, _ = _settled_prefix(
+                lam, lam_prev, nev, tol_accept, sigma, floor32)
+            accept_streak = accept_streak + 1 if settled_acc >= nev else 0
+            if settled > best_settled:
+                best_settled, since_improve = settled, 0
+            else:
+                since_improve += 1
+            stagnated = since_improve >= 8 and accept_streak >= streak_needed
+            if streak >= streak_needed or stagnated or (
+                    accept_streak >= streak_needed and pit == polish_max - 1):
+                res_norm = np.asarray(jax.device_get(res_d))
+                x_out = _extract_x(s64, c64)
+                return LobpcgResult(
+                    lam[:nev].copy(), x_out[:, :nev], iterations, ops_count,
+                    residual_norms=res_norm[:nev],
+                )
+        if accept_streak >= 1:
+            res_norm = np.asarray(jax.device_get(res_d))
+            x_out = _extract_x(s64, c64)
+            return LobpcgResult(
+                lam[:nev].copy(), x_out[:, :nev], start_iters + polish_max, ops_count,
+                residual_norms=res_norm[:nev],
+            )
+    return None
 
 
 def _lobpcg_legacy(
