@@ -1,10 +1,5 @@
-"""Per-stage device timing of the ortho-engine outer iteration at bench scale.
-
-Answers VERDICT r2 weak #1 / next #1(c): where does the ~1 s/outer-iteration go —
-applies, inner PCG, Grams, CholQR, or the Rayleigh-Ritz fold? Run on the real chip:
-
-    python scripts/diag_iter.py
-"""
+"""Per-piece wall timing of the ortho-engine iteration at bench scale: applies, PCG,
+CholQR, Grams, Rayleigh-Ritz — tells us where the ~700 ms per outer iteration goes."""
 
 import os
 import sys
@@ -28,7 +23,7 @@ from mesheditor_tpu.solve import eigs
 from mesheditor_tpu.solve.lobpcg import _pcg_block
 
 
-def timeit(label, fn, *args, n=5, **kwargs):
+def timeit(label, fn, *args, n=10, **kwargs):
     out = fn(*args, **kwargs)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -36,7 +31,7 @@ def timeit(label, fn, *args, n=5, **kwargs):
         out = fn(*args, **kwargs)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{label:40s} {dt * 1e3:9.2f} ms")
+    print(f"{label:48s} {dt * 1e3:9.3f} ms", flush=True)
     return out, dt
 
 
@@ -50,57 +45,38 @@ def main():
     n = ops.n_dofs
     sigma = -((2 * np.pi * cfg.min_mode_freq) ** 2)
     k_diag, m_diag = pencil_diagonals(ops)
-    t0 = time.perf_counter()
     precond = build_amg(mesh.points, kept, quad, ops, k_diag, m_diag, sigma)
-    print(f"build_amg: {time.perf_counter() - t0:.2f}s  nagg={precond.nagg}")
     shifted = bake_shifted_f32(ops, sigma)
-
-    nev = cfg.num_fem_modes
-    p = nev + 15
-    rigid_cols = precond.rigid.shape[1]
-    p_e = p - rigid_cols
-    print(f"n={n} p={p} p_e={p_e} rigid={rigid_cols} E={kept.shape[0]}")
+    p = cfg.num_fem_modes + 15 - precond.rigid.shape[1]
+    print(f"n={n} p={p} 3p={3*p} E={kept.shape[0]}", flush=True)
 
     key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (n, p_e), dtype=jnp.float32)
+    x = jax.random.normal(key, (n, p), dtype=jnp.float32)
     x = eigs.smooth_panel(shifted, precond, x)
-    jax.block_until_ready(x)
+    s, ks, ms, a0, b0, theta, c = eigs._init_stage(ops, x)
+    jax.block_until_ready(s)
+    sig_d = jnp.asarray(abs(sigma), jnp.float64)
+
+    r = jax.random.normal(key, (n, p), dtype=jnp.float32)
 
     with jax.default_matmul_precision("highest"):
-        kmm = jax.jit(lambda o, v: o.kmmat_f32(v))
-        amat = jax.jit(lambda s, v: s.amat(v))
-        pre = jax.jit(lambda pc, v: pc.apply(None, v) if pc.cycle == "additive"
-                      else pc.apply(lambda u: shifted.amat(u), v))
-        pcg = jax.jit(lambda s, pc, r: _pcg_block(s.amat, pc, r, 16))
-        gram = jax.jit(eigs.gram64c)
-        cholqr = jax.jit(eigs._chol_qr_m)
-        rrfold = jax.jit(lambda a, b, s: eigs._rr_fold(a, b, p_e, s))
-
-        timeit("kmmat_f32 (fused K/M apply, p_e)", kmm, ops, x)
-        timeit("shifted amat (p_e)", amat, shifted, x)
-        timeit("amg precond apply (p_e)", pre, precond, x)
-        timeit("pcg_block 16 iters (p_e)", pcg, shifted, precond, x, n=2)
-
-        s3 = jnp.concatenate([x, x, x], 1)
-        timeit("gram64c (n, 3p_e)^2", gram, s3, s3)
-        kx, mx = ops.kmmat_f32(x)
-        timeit("chol_qr_m (p_e block, 2 pass)", cholqr, x, mx, kx)
-
-        a = np.asarray(gram(s3, s3))
-        a = a + 3 * p_e * np.eye(3 * p_e)  # SPD-ish stand-in
-        b = np.eye(3 * p_e) + 1e-6 * a / np.abs(a).max()
-        a_d = jnp.asarray(a)
-        b_d = jnp.asarray(b)
-        timeit("rr_fold (3p_e pencil)", rrfold, a_d, b_d,
-               jnp.asarray(1.0, jnp.float64), n=2)
-
-        # Full iteration for reference
-        s, ks, ms, a0, b0, theta, c = eigs._init_stage(ops, x)
-        jax.block_until_ready(s)
-        it = jax.jit(lambda *args: eigs._iter_stage(*args, 16,
-                     jnp.asarray(abs(sigma), jnp.float64), refresh=False))
-        timeit("full _iter_stage (inner=16)", it, ops, shifted, precond,
-               s, ks, ms, a0, b0, c, precond.rigid, precond.m_rigid, n=2)
+        timeit("kmmat_f32 (fused K/M pair, p)", jax.jit(ops.kmmat_f32), x)
+        timeit("mmat_f32 (p)", jax.jit(ops.mmat_f32), x)
+        timeit("amat (shifted, p)", jax.jit(shifted.amat), x)
+        timeit("amg.apply (p)", jax.jit(lambda r: precond.apply(shifted.amat, r)), r)
+        timeit("pcg_block 16 iters", jax.jit(lambda r: _pcg_block(shifted.amat, precond, r, 16)), r)
+        timeit("recombine s@c (one)", jax.jit(lambda s, c: s @ c.astype(jnp.float32)), s, c)
+        timeit("gram64c (3p x 3p)", jax.jit(eigs.gram64c), s, ks)
+        timeit("chol_qr_m (p block)", jax.jit(eigs._chol_qr_m), r, r, r)
+        timeit("rr_fold (3p)", jax.jit(lambda a, b: eigs._rr_fold(a, b, p, jnp.float64(1e10))), a0, b0, n=5)
+        timeit("eigh f32 (3p)", jax.jit(lambda g: jnp.linalg.eigh(g.astype(jnp.float32))),
+               a0, n=5)
+        timeit("full _iter_stage", lambda: eigs._iter_stage(
+            ops, shifted, precond, s, ks, ms, a0, b0, c, precond.rigid,
+            precond.m_rigid, 16, sig_d, refresh=False), n=5)
+        timeit("full _iter_stage refresh", lambda: eigs._iter_stage(
+            ops, shifted, precond, s, ks, ms, a0, b0, c, precond.rigid,
+            precond.m_rigid, 16, sig_d, refresh=True), n=5)
 
 
 if __name__ == "__main__":
