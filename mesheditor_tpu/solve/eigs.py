@@ -57,15 +57,7 @@ import numpy as np
 GRAM_CHUNK = 512
 
 
-def _precise(fn):
-    from functools import wraps
-
-    @wraps(fn)
-    def wrapper(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapper
+from .lobpcg import _precise, _refine_sym  # shared precision/refinement helpers
 
 
 def gram64c(u, v):
@@ -89,32 +81,6 @@ def gram64c(u, v):
 
 def _col_dots(a, b):
     return jnp.einsum("np,np->p", a, b, preferred_element_type=jnp.float64)
-
-
-def _refine_sym(g, v, passes=2, cluster_rel=1e-5):
-    """First-order Sylvester refinement of approximate eigenvectors `v` of the
-    symmetric f64 matrix `g` (see solve/lobpcg.py:_refine_sym for the full story).
-    Pure matmuls: squares the f32-eigh vector error per pass; near-degenerate pairs
-    (relative gap < cluster_rel) are left alone — intra-cluster rotations are
-    physically arbitrary."""
-    k = v.shape[1]
-    eye_mask = 1.0 - jnp.eye(k, dtype=v.dtype)
-
-    def one(v, _):
-        gv = g @ v
-        e = v.T @ gv
-        lam = jnp.diagonal(e)
-        den = lam[None, :] - lam[:, None]
-        mag = jnp.abs(lam)[None, :] + jnp.abs(lam)[:, None]
-        ok = jnp.abs(den) > cluster_rel * mag + 1e-300
-        x = jnp.where(ok, e / jnp.where(ok, den, 1.0), 0.0) * eye_mask
-        x = jnp.where(jnp.abs(x) > 0.1, 0.0, x)
-        v = v + v @ x
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-300)
-        return v, None
-
-    v, _ = jax.lax.scan(one, v, None, length=passes)
-    return v
 
 
 def _rr_fold(a, b, p_want: int, s_hint):
@@ -206,18 +172,30 @@ def _kill_collapsed(pre2, w, mw, kw):
     return w * live32, mw * live32, kw * live32
 
 
+_QR_RIDGE = 3e-5  # CholQR Gram ridge; sits above the chunked-Gram noise floor
+
+
 def _chol_qr_m(w, mw, kw, passes=2):
     """M-orthonormalize the block `w` in place of its carried products: two-pass
-    CholQR against the f64-grade chunked Gram. Columns whose M-norm collapses below
-    ~1e-6 of the block scale are numerically dependent — they are ZEROED (the
-    Rayleigh-Ritz parks their dead slots above the window) rather than normalized
-    into noise amplifiers. All updates are column operations, so the carried K/M
-    products transform exactly alongside."""
+    CholQR against the f64-grade chunked Gram. Numerically dependent columns are
+    ZEROED (the Rayleigh-Ritz parks their dead slots above the window) rather than
+    normalized into noise amplifiers. All updates are column operations, so the
+    carried K/M products transform exactly alongside.
+
+    Dependence detection is PASS-AWARE: the first equilibration must tolerate huge
+    legitimate norm ratios (converged columns' residual corrections are ~1e6x
+    smaller than unconverged ones), so its kill threshold is loose; on later
+    passes every live input column was unit-M-norm, so a post-whitening norm at
+    the RIDGE scale (~_QR_RIDGE) means the column was inside the span and the
+    CholQR produced only ridge residue — re-normalizing that residue would plant
+    an amplified copy/noise column in the basis (measured: an exactly duplicated
+    column re-normalizes to a full-scale repeat instead of zero)."""
     k = w.shape[1]
-    for _ in range(passes):
+    for ipass in range(passes):
         # Column equilibration first: unit M-norm (dead columns -> exact zeros).
         cn = _col_dots(w, mw)
-        live = cn > 1e-12 * jnp.maximum(jnp.max(cn), 1e-300)
+        kill_rel = 1e-12 if ipass == 0 else 10.0 * _QR_RIDGE
+        live = cn > kill_rel * jnp.maximum(jnp.max(cn), 1e-300)
         d = jnp.where(live, jax.lax.rsqrt(jnp.where(live, cn, 1.0)), 0.0)
         d32 = d.astype(jnp.float32)
         w = w * d32[None, :]
@@ -233,7 +211,7 @@ def _chol_qr_m(w, mw, kw, passes=2):
         g = 0.5 * (g + g.T)
         livec = jnp.diagonal(g) > 0.5  # live columns have unit diagonal here
         mask = livec[:, None] & livec[None, :]
-        g = jnp.where(mask, g, 0.0) + jnp.diag(jnp.where(livec, 3e-5, 1.0))
+        g = jnp.where(mask, g, 0.0) + jnp.diag(jnp.where(livec, _QR_RIDGE, 1.0))
         ell = jnp.linalg.cholesky(g)
         li_t = jax.scipy.linalg.solve_triangular(
             ell, jnp.eye(k, dtype=jnp.float64), lower=True
@@ -335,9 +313,13 @@ def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
     # blocking the settled prefix forever. Keeping them out entirely is both faster
     # (narrower panel) and the clamp VERDICT r2 #10 asked for.
     w = w - rigid @ (m_rigid.T @ w)
-    pre2_w = _col_dots(w, ops.mmat_f32(w))
-    (w,) = _project_out(x, mx, w)
+    # One fused K/M apply BEFORE the X-projection; kw/mw then carry through the
+    # projection linearly (exact in exact arithmetic — the tails of _project_out),
+    # saving the separate M apply that only measured the pre-projection norms
+    # (ADVICE r3, eigs.py:338).
     kw, mw = ops.kmmat_f32(w)
+    pre2_w = _col_dots(w, mw)
+    w, kw, mw = _project_out(x, mx, w, (kw, kx), (mw, mx))
     w, mw, kw = _kill_collapsed(pre2_w, w, mw, kw)
     w, mw, kw = _chol_qr_m(w, mw, kw)
 
@@ -439,9 +421,9 @@ def ortho_lobpcg(
             ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
             inner_iters, sig_d, refresh=refresh,
         )
-        ops_count += 3 + inner_iters + (3 if refresh else 0)
+        ops_count += 2 + inner_iters + (4 if refresh else 0)
         if pending is not None:
-            status, lam = _check(
+            status, lam, settled_now = _check(
                 pending, prev, nev, tol, sigma, floor_rel, res_exit, callback,
                 debug, last_t,
             )
@@ -459,8 +441,8 @@ def ortho_lobpcg(
                     (lam.copy(), x_out, it, ops_count, res),
                     "done", it, ops_count,
                 )
-            if _SETTLED_COUNT[0] > best_settled:
-                best_settled, since_improve = _SETTLED_COUNT[0], 0
+            if settled_now > best_settled:
+                best_settled, since_improve = settled_now, 0
             else:
                 since_improve += 1
             if since_improve >= 10 and it >= 16:
@@ -475,7 +457,7 @@ def ortho_lobpcg(
                 )
         pending = (it, theta_d, rel_d, res_d, s, c)
 
-    status, lam = _check(
+    status, lam, _settled = _check(
         pending, prev, nev, tol, sigma, floor_rel, res_exit, callback, debug, last_t
     )
     if status in ("settled", "certified") and lam is not None:
@@ -489,11 +471,9 @@ def ortho_lobpcg(
     return None, "noconv", max_iters, ops_count
 
 
-_SETTLED_COUNT = [0]  # side channel: _check's latest settled prefix, read by the driver
-
-
 def _check(pending, prev, nev, tol, sigma, floor_rel, res_exit, callback, debug, last_t):
-    """Host-side settling + residual certificate, one iteration behind the device."""
+    """Host-side settling + residual certificate, one iteration behind the device.
+    Returns (status, lam, settled_prefix)."""
     import time as _time
 
     from .lobpcg import _settled_prefix
@@ -501,11 +481,10 @@ def _check(pending, prev, nev, tol, sigma, floor_rel, res_exit, callback, debug,
     it, theta_d, rel_d, res_d, _s, _c = pending
     lam = np.asarray(jax.device_get(theta_d), np.float64)
     if not np.isfinite(lam[:nev]).all():
-        return "nan", None
+        return "nan", None, 0
     settled, rel_set, _delta, _window = _settled_prefix(
         lam, prev, nev, tol, sigma, floor_rel
     )
-    _SETTLED_COUNT[0] = settled
     certified = False
     if rel_d is not None:
         rel_h = np.asarray(jax.device_get(rel_d), np.float64)
@@ -523,9 +502,9 @@ def _check(pending, prev, nev, tol, sigma, floor_rel, res_exit, callback, debug,
             flush=True,
         )
     if callback is not None and callback(it, settled):
-        return "cancel", lam
+        return "cancel", lam, settled
     if certified:
-        return "certified", lam
+        return "certified", lam, settled
     if settled >= nev:
-        return "settled", lam
-    return "run", lam
+        return "settled", lam, settled
+    return "run", lam, settled

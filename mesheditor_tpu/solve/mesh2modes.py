@@ -16,7 +16,6 @@ positions reaching the same point share one sample point (and one shape row).
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -103,6 +102,7 @@ def mesh2modes(
     solve returns an empty result (the reference's JobMonitor contract, mesh2modes.h:75-77).
     """
     profile = SolveProfile()
+    config = config.clamp()  # FieldLimits-style bounds (SolverConfig._LIMITS)
     baked_scale = np.asarray(baked_scale, dtype=np.float64).reshape(3)
     length_to_si = float(baked_scale.sum() / 3.0)
 
@@ -149,14 +149,13 @@ def mesh2modes(
     # structure build (host aggregation + device Galerkin coarse assembly + f64 coarse
     # inverse) happens once per solve, the application every inner iteration.
     precond = None
-    small_n = int(os.environ.get("MESHEDITOR_TPU_SMALL_N", "9000"))
-    if os.environ.get("MESHEDITOR_TPU_AMG", "1") != "0" and n > small_n:
+    if config.use_amg and n > config.small_n:
         from .amg import build_amg
 
         try:
             precond = build_amg(tets.points, kept, quad, ops, k_diag, m_diag, sigma)
         except Exception:
-            precond = None  # Jacobi fallback; the host path still backstops robustness
+            precond = None  # lobpcg_pencil falls back to the exact host path
     profile.factorize = time.perf_counter() - t0  # preconditioner setup
 
     x0 = None
@@ -169,12 +168,6 @@ def mesh2modes(
         if progress:
             progress(0.3 + 0.65 * min(settled / max(fem_n_modes, 1), 1.0))
         return bool(cancelled and cancelled())
-
-    # Measured on v5e at the bench scale: the f32 Jacobi-PCG residual stagnates around
-    # 0.15 by ~16 inner iterations (f32 accumulation floor) — 24/48/72 all converge in
-    # the same 12 outer rounds, and 16 does too at strictly less compute; 12 also holds
-    # but leaves no margin on harder pencils.
-    inner_iters = int(os.environ.get("MESHEDITOR_TPU_INNER_ITERS", "0")) or 16
 
     t0 = time.perf_counter()
     eig = lobpcg_pencil(
@@ -189,11 +182,15 @@ def mesh2modes(
         mmat_pc=lambda o, x: o.mmat_f32(x),
         sigma=sigma,
         x0=x0,
+        guard=config.guard,
         tol=tol,
         max_iters=config.max_restarts,
-        inner_iters=inner_iters,
+        inner_iters=config.inner_iters,
         callback=callback,
         precond=precond,
+        small_n=config.small_n,
+        host_fallback_n=config.host_fallback_n,
+        tol_accept=config.tol_accept,
     )
     profile.iterate = time.perf_counter() - t0
     profile.op_applications = eig.op_applications

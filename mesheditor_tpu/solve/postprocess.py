@@ -27,6 +27,17 @@ class ModalEigenSummary:
     solved_material: Optional[AcousticMaterialProperties] = None
     tet_inputs_hash: int = 0
 
+    def __post_init__(self):
+        # Near-rigid eigenvalues come back as tiny NEGATIVE values from any solver
+        # backend (the pencil is PSD; roundoff puts true zeros at ~-eps*||K x||).
+        # Clamp HERE — the one construction point every engine path flows through —
+        # so sqrt(eigenvalues) is warning-free for every consumer (postprocess,
+        # rescale, callers doing their own frequency math). Reference contract:
+        # PostprocessModes treats them as zero (src/audio/mesh2modes.cpp:515-588).
+        ev = np.asarray(self.eigenvalues, np.float64)
+        if ev.size:
+            self.eigenvalues = np.maximum(ev, 0.0)
+
 
 def postprocess_modes(
     eigenvalues: np.ndarray,

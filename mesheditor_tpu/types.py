@@ -55,6 +55,43 @@ class SolverConfig:
     warm_tolerance: float = 1e-4  # Warm-started re-solve tolerance
     max_restarts: int = 100  # Eigensolver outer-iteration limit
     fundamental_freq: Optional[float] = None  # Scale modes so the lowest sits here
+    # ---- TPU iteration knobs (no reference counterpart: the reference factorizes,
+    # src/audio/CholeskyShiftInvert.cpp; these parameterize the iterative replacement).
+    # Bounds are enforced by clamp() below, FieldLimits-style (src/FieldLimits.h).
+    guard: int = 15  # extra solved columns beyond num_fem_modes [0, 512]
+    inner_iters: int = 16  # preconditioned-CG steps per outer iteration [1, 256]
+    small_n: int = 9000  # below this many dofs: host sparse shift-invert [0, 1e9]
+    host_fallback_n: int = 120_000  # non-convergence host-fallback cap (dofs) [0, 1e9]
+    tol_accept: float = 1e-4  # budget-exhaustion acceptance floor [tolerance, 1e-2]
+    use_amg: bool = True  # rigid-body aggregation AMG preconditioner (solve/amg.py)
+
+    _LIMITS = {
+        "min_mode_freq": (1.0, 24_000.0),
+        "max_mode_freq": (20.0, 96_000.0),
+        "num_modes": (1, 4096),
+        "num_fem_modes": (1, 8192),
+        "tolerance": (1e-14, 1e-2),
+        "warm_tolerance": (1e-14, 1e-1),
+        "max_restarts": (1, 10_000),
+        "guard": (0, 512),
+        "inner_iters": (1, 256),
+        "small_n": (0, 1_000_000_000),
+        "host_fallback_n": (0, 1_000_000_000),
+        "tol_accept": (1e-12, 1e-2),
+    }
+
+    def clamp(self) -> "SolverConfig":
+        """A copy with every numeric field clamped to its documented bounds (the
+        action-dispatch FieldLimits discipline, reference src/action/Dispatch.h:63-106)."""
+        from dataclasses import replace
+
+        kw = {}
+        for name, (lo, hi) in self._LIMITS.items():
+            v = getattr(self, name)
+            c = min(max(v, lo), hi)
+            if c != v:
+                kw[name] = type(v)(c)
+        return replace(self, **kw) if kw else self
 
 
 @dataclass

@@ -189,23 +189,13 @@ class TestIrregularConvergence:
         nev = 16
         # Force the iterative path (the host small-pencil route would bypass AMG) and
         # disable the host fallback so non-convergence FAILS the test.
-        old_env = {k: os.environ.get(k)
-                   for k in ("MESHEDITOR_TPU_SMALL_N", "MESHEDITOR_TPU_HOST_FALLBACK_N")}
-        os.environ["MESHEDITOR_TPU_SMALL_N"] = "1"
-        os.environ["MESHEDITOR_TPU_HOST_FALLBACK_N"] = "0"
-        try:
-            eig = L.lobpcg_pencil(
-                lambda o, x: o.kmat(x), lambda o, x: o.mmat(x), k_diag, m_diag, n, nev,
-                op_state=ops, kmat_pc=lambda o, x: o.kmat_f32(x),
-                mmat_pc=lambda o, x: o.mmat_f32(x), sigma=SIGMA, tol=1e-8,
-                max_iters=100, inner_iters=16, precond=amg,
-            )
-        finally:
-            for k, v in old_env.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+        eig = L.lobpcg_pencil(
+            lambda o, x: o.kmat(x), lambda o, x: o.mmat(x), k_diag, m_diag, n, nev,
+            op_state=ops, kmat_pc=lambda o, x: o.kmat_f32(x),
+            mmat_pc=lambda o, x: o.mmat_f32(x), sigma=SIGMA, tol=1e-8,
+            max_iters=100, inner_iters=16, precond=amg,
+            small_n=1, host_fallback_n=0,
+        )
         assert eig.eigenvalues.size == nev, "AMG-preconditioned solve must converge"
         k, m = _pencil_csr(ops)
         vals, _ = spla.eigsh(k, k=nev + 4, M=m, sigma=SIGMA, which="LM")
