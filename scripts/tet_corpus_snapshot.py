@@ -35,6 +35,29 @@ def corpus():
     yield "ellipsoid_shell", shell_surface(
         *_scaled_icosphere(_np.array([0.06, 0.04, 0.02])), 0.0015)
     yield "plate_thin", cylinder_surface(0.09, 0.004, 48)
+    # Adversarial soup (reference tolerates non-manifold/self-intersecting input,
+    # Tetrahedralize.h:44-60): cleaned by mesh/cdt.clean_surface_soup before meshing.
+    for name, (pos, tris) in adversarial_corpus():
+        yield name, (pos, tris)
+
+
+def adversarial_corpus():
+    """Soup inputs the mesher must survive: self-intersections, duplicate and
+    degenerate faces, interior fins. Open surfaces are the documented reject."""
+    p1, t1 = icosphere_surface(2)
+    p1 = p1 * 0.05
+    pts = _np.vstack([p1, p1 + _np.array([0.04, 0.0, 0.0])])
+    tris = _np.vstack([t1, t1 + p1.shape[0]])
+    yield "adv_overlap_spheres", (pts, tris)
+    pc, tc = cuboid_surface((0.1, 0.1, 0.1))
+    tdeg = _np.array([[0, 1, 1], [2, 2, 3]], _np.uint32)
+    pf = _np.vstack([pc, pc[:2] + _np.array([0.0, 0.0, 0.02])])
+    fin = _np.array([[0, 1, pc.shape[0]], [1, pc.shape[0] + 1, pc.shape[0]]], _np.uint32)
+    yield "adv_soup_combo", (pf, _np.vstack([tc, tc[:4], tdeg, fin]))
+    rng = _np.random.default_rng(11)
+    ps, ts = icosphere_surface(3)
+    ps = ps * 0.05 * (1.0 + 0.25 * rng.standard_normal((ps.shape[0], 1)))
+    yield "adv_spiky_scan", (ps, ts)  # sliver-rich self-intersecting scan-like blob
 
 
 def _scaled_icosphere(scale):
@@ -44,7 +67,11 @@ def _scaled_icosphere(scale):
 
 def snapshot_lines():
     for name, (pos, tris) in corpus():
-        for q, tag in ((0.0, "noq"), (2.0, "q2")):
+        # Adversarial soup rows run the unrefined pass only: quality refinement on
+        # self-intersecting scans inserts 10^5 Steiner points (minutes per row) and
+        # adds nothing to what the row pins (soup cleanup + meshing survival).
+        quals = ((0.0, "noq"),) if name.startswith("adv_") else ((0.0, "noq"), (2.0, "q2"))
+        for q, tag in quals:
             prof = TetProfile()
             tm = generate_tets_delaunay(pos, tris, quality_bound=q, profile=prof)
             h = hashlib.sha256()

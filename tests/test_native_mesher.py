@@ -165,3 +165,66 @@ class TestCorpusSnapshot:
                    / "tet_corpus_snapshot.txt").read_text().strip().splitlines()
         current = list(snapshot_lines())
         assert current == fixture
+
+
+class TestSoupCleanup:
+    """Adversarial triangle-soup tolerance (reference accepts closed, possibly
+    non-manifold, self-intersecting soup — src/mesh/Tetrahedralize.h:44-60).
+    Self-intersecting/sliver-rich survival rows live in the corpus snapshot
+    (adv_* in tests/fixtures/tet_corpus_snapshot.txt)."""
+
+    def _cuboid(self):
+        return cuboid_surface((0.1, 0.1, 0.1))
+
+    def test_clean_surface_passes_unchanged(self):
+        from mesheditor_tpu.mesh.cdt import clean_surface_soup
+
+        _, tris = self._cuboid()
+        tt, rep = clean_surface_soup(tris)
+        assert tt.shape[0] == tris.shape[0]
+        assert rep == {"degenerate": 0, "duplicates": 0, "peeled": 0,
+                       "kept": tris.shape[0], "input": tris.shape[0]}
+
+    def test_degenerate_and_duplicate_faces_dropped(self):
+        from mesheditor_tpu.mesh.cdt import clean_surface_soup
+
+        pts, tris = self._cuboid()
+        degen = np.array([[0, 1, 1], [2, 2, 3]], np.uint32)
+        soup = np.vstack([tris, tris[:4], degen])
+        tt, rep = clean_surface_soup(soup)
+        assert rep["degenerate"] == 2 and rep["duplicates"] == 4
+        assert tt.shape[0] == tris.shape[0]
+        tm = generate_tets_delaunay(pts, soup)
+        assert tet_volumes(tm).min() > 0
+
+    def test_interior_fin_peeled(self):
+        from mesheditor_tpu.mesh.cdt import clean_surface_soup
+
+        pts, tris = self._cuboid()
+        n = pts.shape[0]
+        pf = np.vstack([pts, pts[:2] + np.array([0.0, 0.0, 0.02])])
+        fin = np.array([[0, 1, n], [1, n + 1, n]], np.uint32)
+        soup = np.vstack([tris, fin])
+        tt, rep = clean_surface_soup(soup)
+        assert rep["peeled"] == 2
+        assert tt.shape[0] == tris.shape[0]
+        tm = generate_tets_delaunay(pf, soup)
+        assert tet_volumes(tm).min() > 0
+        assert np.allclose(tm.points[:pf.shape[0]], pf)
+
+    def test_open_surface_rejected_with_report(self):
+        pts, tris = self._cuboid()
+        with pytest.raises(ValueError, match="not a closed surface|not watertight"):
+            generate_tets_delaunay(pts, tris[:-2])
+
+    def test_self_intersecting_union_meshes(self):
+        p1, t1 = icosphere_surface(2)
+        p1 = p1 * 0.05
+        pts = np.vstack([p1, p1 + np.array([0.04, 0.0, 0.0])])
+        tris = np.vstack([t1, t1 + p1.shape[0]])
+        tm = generate_tets_delaunay(pts, tris)
+        vols = tet_volumes(tm)
+        assert vols.min() > 0
+        # The union domain is smaller than two disjoint balls but bigger than one.
+        ball = tet_volumes(generate_tets_delaunay(p1, t1)).sum()
+        assert ball < vols.sum() < 2 * ball
