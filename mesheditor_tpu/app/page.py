@@ -36,6 +36,15 @@ PAGE_HTML = """<!doctype html>
   <hr/>
   <button id="verify">verify replay</button>
   <div id="verdict"></div>
+  <hr/>
+  <h3>Audio</h3>
+  <div id="audiostats" style="font-size:11px; line-height:1.6"></div>
+  <div id="solves" style="font-size:11px; color:#9aa3b5"></div>
+  <canvas id="wave" width="210" height="56"
+          style="background:#0d0e11; border-radius:4px; margin-top:6px"></canvas>
+  <canvas id="spec" width="210" height="56"
+          style="background:#0d0e11; border-radius:4px; margin-top:4px"></canvas>
+  <div id="peaks" style="font-size:10px; color:#7d8494"></div>
 </div>
 <div id="main">
   <div id="bar">
@@ -83,8 +92,54 @@ function applyState() {
   if (state.struck && state.has_audio) {
     const a = new Audio('/audio?ts=' + Date.now());
     a.play().catch(()=>{});
+    drawWaveform();
+  }
+  if (state.audio) {
+    const s = state.audio;
+    document.getElementById('audiostats').innerHTML =
+      'voices <b>' + s.active_voices + '</b> &nbsp; impacts <b>' + s.active_impacts
+      + '</b><br/>bank ' + s.bank_objects + ' obj × ' + s.bank_modes + ' modes'
+      + '<br/>dropped ' + s.events_dropped + ' · refused v' + s.voices_refused
+      + ' t' + s.tracks_refused;
+    const sv = document.getElementById('solves');
+    sv.innerHTML = s.solves.map(j =>
+      'solve ' + j.name + ': ' + (j.error ? ('failed — ' + j.error)
+        : j.done ? (j.modes + ' modes ✓')
+        : (Math.round(100 * j.fraction) + '%')
+    )).join('<br/>');
   }
 }
+async function drawWaveform() {
+  const w = await (await fetch('/waveform')).json();
+  if (!w.available) return;
+  const cw = document.getElementById('wave'), cs = document.getElementById('spec');
+  const g = cw.getContext('2d'), gs = cs.getContext('2d');
+  g.clearRect(0, 0, cw.width, cw.height);
+  g.fillStyle = '#5a8fd8';
+  const n = w.env_hi.length, mid = cw.height / 2;
+  const amp = Math.max(...w.env_hi.map(Math.abs), ...w.env_lo.map(Math.abs), 1e-9);
+  for (let i = 0; i < n; i++) {
+    const x = i / n * cw.width;
+    const y0 = mid - w.env_hi[i] / amp * mid, y1 = mid - w.env_lo[i] / amp * mid;
+    g.fillRect(x, y0, Math.max(cw.width / n, 1), Math.max(y1 - y0, 1));
+  }
+  gs.clearRect(0, 0, cs.width, cs.height);
+  gs.fillStyle = '#d8a15a';
+  const m = w.spectrum.length;
+  for (let i = 0; i < m; i++) {
+    const x = i / m * cs.width, hgt = w.spectrum[i] * cs.height;
+    gs.fillRect(x, cs.height - hgt, Math.max(cs.width / m, 1), hgt);
+  }
+  document.getElementById('peaks').textContent =
+    'peaks: ' + w.peaks_hz.map(f => Math.round(f) + 'Hz').join(' ');
+}
+setInterval(async () => {
+  const r = await fetch('/state');
+  const s = await r.json();
+  if (s.version !== version || JSON.stringify(s.audio) !== JSON.stringify(state && state.audio)) {
+    state = s; applyState();
+  }
+}, 1500);
 function pos(e) {
   const r = canvas.getBoundingClientRect();
   const sx = canvas.naturalWidth / r.width, sy = canvas.naturalHeight / r.height;

@@ -63,6 +63,11 @@ class ViewerApp:
         self._synth = None
         self._synth_objects: dict[int, int] = {}
         self._last_wav: bytes | None = None
+        self._last_audio: np.ndarray | None = None
+        # Live solve-progress overlay (reference: DrawModalJobsOverlay,
+        # AudioSystem.cpp:1201-1218 job landing + main.cpp:1137): entity -> dict.
+        # Written from the solving thread, read by /state polls (threaded server).
+        self.solve_progress: dict[int, dict] = {}
         self.timeline_t = 0.0
         self._frame_camera()
 
@@ -314,13 +319,23 @@ class ViewerApp:
             if not r.has(e, MeshSurface):
                 continue
             m = r.get(e, MeshSurface)
+            ent = int(e)
+            name = r.get(e, Name).value if r.has(e, Name) else str(ent)
+            self.solve_progress[ent] = {"name": name, "fraction": 0.0, "done": False}
+
+            def _prog(f, _ent=ent):
+                self.solve_progress[_ent]["fraction"] = float(f)
+
             try:
                 res = solve_surface(
                     np.asarray(m.positions, np.float64), np.asarray(m.triangles),
                     CERAMIC.properties,
                     settings=ModalSolveSettings(num_modes=16, num_vertices=6),
-                    tet_resolution=8)
-            except Exception:
+                    tet_resolution=8, progress=_prog)
+                self.solve_progress[ent].update(fraction=1.0, done=True,
+                                                modes=int(res.modes.num_modes))
+            except Exception as exc:
+                self.solve_progress[ent].update(done=True, error=str(exc)[:120])
                 continue
             if res.modes.num_modes:
                 objects[int(e)] = len(results)
@@ -354,6 +369,7 @@ class ViewerApp:
                       impulse_mag=0.05, material=CERAMIC.properties)
             audio = np.asarray(self._synth.render_seconds(1.0))
             peak = float(np.abs(audio).max())
+            self._last_audio = audio
             if peak > 0:
                 from ..io import write_wav
 
@@ -381,9 +397,61 @@ class ViewerApp:
             "timeline_t": self.timeline_t,
             "has_audio": self._last_wav is not None,
             "session_dir": str(self.session.dir),
+            "audio": self.audio_state(),
         }
         st.update(extra)
         return st
+
+    def audio_state(self) -> dict:
+        """Live audio-engine counters (reference: DrawAudioDebug bank-occupancy
+        panel + ActiveVoices/ActiveImpacts/drop counters, AudioSystem.cpp:2020,
+        ModalAudio.h:204-206) and the solve-progress overlay
+        (DrawModalJobsOverlay, main.cpp:1137)."""
+        s = self._synth
+        st = {
+            "enabled": self.audio_enabled,
+            "active_voices": int(s.active_voices) if s else 0,
+            "active_impacts": int(s.active_impacts) if s else 0,
+            "events_dropped": int(s.events_dropped) if s else 0,
+            "voices_refused": int(s.voices_refused) if s else 0,
+            "tracks_refused": int(s.tracks_refused) if s else 0,
+            "bank_objects": int(s.params.coeff_re.shape[0]) if s else 0,
+            "bank_modes": int(s.params.coeff_re.shape[1]) if s else 0,
+            "solves": list(self.solve_progress.values()),
+        }
+        return st
+
+    def waveform(self, points: int = 512, spectrum_bins: int = 256) -> dict:
+        """Waveform envelope + magnitude spectrum of the last rendered strike for the
+        browser panel (reference: ImPlot waveform/spectrum charts,
+        AudioSystem.cpp:1527-1597). Pure-JSON payload, downsampled host-side."""
+        a = self._last_audio
+        if a is None or a.size == 0:
+            return {"available": False}
+        a = np.asarray(a, np.float64)
+        n = a.size
+        hop = max(n // points, 1)
+        trimmed = a[: (n // hop) * hop].reshape(-1, hop)
+        env_hi = trimmed.max(axis=1)
+        env_lo = trimmed.min(axis=1)
+        spec = np.abs(np.fft.rfft(a))
+        sr = float(self._synth.sample_rate) if self._synth else 48000.0
+        freqs = np.fft.rfftfreq(n, 1.0 / sr)
+        keep = freqs <= 12000.0
+        spec, freqs = spec[keep], freqs[keep]
+        bins = max(spec.size // spectrum_bins, 1)
+        spec_b = spec[: (spec.size // bins) * bins].reshape(-1, bins).max(axis=1)
+        freq_b = freqs[: (freqs.size // bins) * bins].reshape(-1, bins).mean(axis=1)
+        top = np.argsort(spec)[-6:][::-1]
+        return {
+            "available": True,
+            "sample_rate": sr,
+            "env_hi": np.round(env_hi, 6).tolist(),
+            "env_lo": np.round(env_lo, 6).tolist(),
+            "spectrum": np.round(spec_b / max(spec_b.max(), 1e-30), 5).tolist(),
+            "spectrum_freqs": np.round(freq_b, 1).tolist(),
+            "peaks_hz": np.round(freqs[top], 1).tolist(),
+        }
 
     def verify(self) -> dict:
         self.session.log.drain()
@@ -430,6 +498,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, app.frame_png(), "image/png")
         elif self.path.startswith("/state"):
             self._send(200, json.dumps(app.state()).encode())
+        elif self.path.startswith("/waveform"):
+            self._send(200, json.dumps(app.waveform()).encode())
         elif self.path.startswith("/audio"):
             wav = app._last_wav or b""
             self._send(200 if wav else 404, wav, "audio/wav")
