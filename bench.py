@@ -14,6 +14,30 @@ import time
 import numpy as np
 
 
+def _golden_render_rms(sample_rate):
+    """RMS of one second rendered from a DETERMINISTIC synthetic modal bank: fixed
+    freqs/T60s/shapes from a seeded rng, one strike per object. Independent of the
+    eigensolver, so it pins the render semantics alone."""
+    from mesheditor_tpu.api import make_synth
+    from mesheditor_tpu.synth import ModalEvent
+    from mesheditor_tpu.types import ModalModes
+
+    rng = np.random.default_rng(20260820)
+    k = 64
+    freqs = np.linspace(120.0, 9000.0, k)
+    t60s = np.linspace(1.2, 0.15, k)
+    shapes = (rng.standard_normal((4, k, 3)) * 0.02).astype(np.float32)
+    modes = ModalModes(freqs, t60s, shapes)
+    synth = make_synth([modes] * 8, sample_rate=sample_rate)
+    for o in range(8):
+        synth.enqueue(ModalEvent(
+            kind="impact", obj=o, expos=o % 4, j=(0.04, 0.03, 0.01),
+            pulse_step=1.0 / 140.0, pulse_gamma=np.pi / 2 / 140.0, accel_amp=0.0005,
+        ))
+    out = np.asarray(synth.render_seconds(1.0, 512), np.float64)
+    return float(np.sqrt((out ** 2).mean()))
+
+
 def run(report_json=True):
     import mesheditor_tpu  # noqa: F401
     from mesheditor_tpu import SolverConfig, mesh2modes
@@ -69,6 +93,33 @@ def run(report_json=True):
     assert np.isfinite(warm_audio).all() and np.abs(warm_audio).max() > 0, "render failed"
     note("warmup render ok; timing...")
 
+    # Pallas-vs-scan render parity ON DEVICE (VERDICT r3 #6): the CI suite runs the
+    # kernels interpreter-only (CPU backend), so a silent semantic change in the
+    # compiled kernels would otherwise ship unnoticed. Render the same strike set
+    # through both paths from identical state and compare.
+    def render_one_path(result, use_pallas):
+        synth = make_synth([result] * n_objects, sample_rate=sample_rate)
+        synth.use_pallas = use_pallas
+        for o in range(n_objects):
+            synth.enqueue(
+                ModalEvent(
+                    kind="impact", obj=o, expos=o % max(result.modes.shapes.shape[0], 1),
+                    j=(0.05, 0.02, 0.01), pulse_step=1.0 / 150.0,
+                    pulse_gamma=np.pi / 2 / 150.0, accel_amp=0.001,
+                )
+            )
+        out = synth.render(4096)
+        if use_pallas is True and synth._pallas_ok is False:
+            raise AssertionError("pallas path failed to execute on device")
+        return np.asarray(out, np.float64)
+
+    a_pallas = render_one_path(warm_result, True)
+    a_scan = render_one_path(warm_result, False)
+    peak = max(np.abs(a_scan).max(), 1e-30)
+    pallas_parity = float(np.abs(a_pallas - a_scan).max() / peak)
+    note(f"pallas parity (max err / peak over 4096 samples): {pallas_parity:.3e}")
+    assert pallas_parity < 1e-3, f"pallas/scan divergence {pallas_parity:.3e}"
+
     t0 = time.perf_counter()
     result = solve()
     solve_s = time.perf_counter() - t0
@@ -87,6 +138,20 @@ def run(report_json=True):
         "unit": "x_realtime",
         "vs_baseline": round(realtime_x / 1.0, 4),
     }
+    # Pinned RMS golden for the RENDER, measured on a deterministic synthetic bank
+    # (VERDICT r3 #6: the solve->render rms silently drifted 19x across rounds as
+    # solver changes rotated degenerate mode shapes — it is solver-noise-sensitive by
+    # nature, so the render pin must not route through the eigensolver). A drift
+    # outside the band means the rendered SIGNAL changed — re-pin only with an
+    # explanation of which render change moved it. The solve-path audio_rms is still
+    # reported (informational) in the detail JSON.
+    golden_rms = _golden_render_rms(sample_rate)
+    rms_band = (8.82e-3, 9.10e-3)  # pinned r4: measured 8.9566e-3 on v5e (+-1.5%)
+    assert rms_band[0] <= golden_rms <= rms_band[1], (
+        f"golden render rms {golden_rms:.4e} outside pinned band {rms_band}"
+    )
+    note(f"golden render rms {golden_rms:.4e} within band {rms_band}")
+    audio_rms = float(np.sqrt((audio.astype(np.float64) ** 2).mean()))
     detail = {
         "solve_s": round(solve_s, 3),
         "render_s": round(render_s, 3),
@@ -94,7 +159,10 @@ def run(report_json=True):
         "dofs": result.profile.dofs,
         "eig_iterations": result.profile.restarts,
         "f1_hz": float(result.modes.freqs[0]) if result.modes.num_modes else 0.0,
-        "audio_rms": float(np.sqrt((audio.astype(np.float64) ** 2).mean())),
+        "audio_rms": audio_rms,
+        "golden_render_rms": golden_rms,
+        "golden_rms_band": list(rms_band),
+        "pallas_parity": pallas_parity,
     }
     if report_json:
         import sys
