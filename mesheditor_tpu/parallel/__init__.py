@@ -1,5 +1,7 @@
 from .sharding import (
     make_mesh,
+    shard_element_ops,
+    shard_synth,
     shard_elements,
     sharded_pencil_ops,
     batched_render_step,
@@ -8,6 +10,8 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "shard_element_ops",
+    "shard_synth",
     "shard_elements",
     "sharded_pencil_ops",
     "batched_render_step",

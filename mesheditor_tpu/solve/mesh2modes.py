@@ -95,11 +95,18 @@ def mesh2modes(
     reuse: SolveReuse = SolveReuse(),
     cancelled: Optional[Callable[[], bool]] = None,
     progress: Optional[Callable[[float], None]] = None,
+    mesh=None,
 ) -> ModalResult:
     """FEM modal analysis over quadratic (10-node) tetrahedral elements.
 
     `cancelled` (optional) is polled between stages and eigensolver iterations; a cancelled
     solve returns an empty result (the reference's JobMonitor contract, mesh2modes.h:75-77).
+
+    `mesh` (optional jax.sharding.Mesh with a "tp" axis) runs the SAME production
+    eigensolve with the element arrays sharded over the mesh: GSPMD partitions every
+    element matvec and psums the scattered partials/Grams over ICI (the reference's
+    Rayleigh-Ritz reduction points, src/audio/mesh2modes.cpp:379-398). Results are
+    shard-count-invariant to reduction roundoff (tested in tests/test_parallel.py).
     """
     profile = SolveProfile()
     config = config.clamp()  # FieldLimits-style bounds (SolverConfig._LIMITS)
@@ -122,6 +129,10 @@ def mesh2modes(
 
     t0 = time.perf_counter()
     ops = assemble_element_matrices(tets.points, kept, material, quad)
+    if mesh is not None:
+        from ..parallel.sharding import shard_element_ops
+
+        ops = shard_element_ops(ops, mesh)
     ops.k_blocks.block_until_ready()
     profile.assemble = time.perf_counter() - t0
     profile.dofs = ops.n_dofs

@@ -118,3 +118,66 @@ class TestShardedRender:
             outs.append(np.asarray(out))
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(outs[0], outs[2], rtol=1e-12, atol=1e-12)
+
+
+class TestProductionSolveSharded:
+    """VERDICT r3 #2: the PRODUCTION eigensolve (mesh2modes -> ortho engine + AMG-PCG)
+    runs element-sharded over the mesh, and the device count is invisible in the
+    answer up to reduction roundoff."""
+
+    def _solve(self, mesh):
+        from mesheditor_tpu import SolverConfig, mesh2modes
+
+        bar = bar_tets(0.2, 0.06, 0.05, 7, 3, 3)
+        cfg = SolverConfig(num_modes=12, num_fem_modes=16, small_n=0,
+                          tolerance=1e-8, max_mode_freq=96_000.0)
+        ex = bar.points[:: max(bar.points.shape[0] // 6, 1)][:6]
+        return mesh2modes(bar, CERAMIC.properties, ex, config=cfg, mesh=mesh)
+
+    def test_sharded_solve_matches_unsharded(self):
+        r1 = self._solve(None)
+        r8 = self._solve(make_mesh(8))
+        assert r1.modes.num_modes == r8.modes.num_modes > 0
+        f1 = np.asarray(r1.summary.eigenvalues)
+        f8 = np.asarray(r8.summary.eigenvalues)
+        np.testing.assert_allclose(f8, f1, rtol=1e-10)
+
+    def test_two_vs_eight_device_invariance(self):
+        r2 = self._solve(make_mesh(2))
+        r8 = self._solve(make_mesh(8))
+        np.testing.assert_allclose(
+            np.asarray(r8.summary.eigenvalues), np.asarray(r2.summary.eigenvalues),
+            rtol=1e-10)
+
+
+class TestProductionRenderSharded:
+    def test_shard_synth_render_matches_unsharded(self):
+        """Object-sharded production render (params/state over dp, tables replicated)
+        equals the single-device scan render exactly at f32-roundoff scale."""
+        from mesheditor_tpu.api import make_synth
+        from mesheditor_tpu.parallel import shard_synth
+        from mesheditor_tpu.synth import ModalEvent
+        from mesheditor_tpu.types import ModalModes
+
+        rng = np.random.default_rng(5)
+        k = 24
+        modes = ModalModes(
+            np.linspace(100.0, 6000.0, k), np.linspace(1.0, 0.2, k),
+            (rng.standard_normal((4, k, 3)) * 0.02).astype(np.float32))
+
+        def build():
+            synth = make_synth([modes] * 8, sample_rate=48_000.0)
+            synth.use_pallas = False
+            for o in range(8):
+                synth.enqueue(ModalEvent(
+                    kind="impact", obj=o, expos=o % 4, j=(0.05, 0.02, 0.01),
+                    pulse_step=1 / 96.0, pulse_gamma=np.pi / 2 / 96.0,
+                    accel_amp=0.001))
+            return synth
+
+        base = build()
+        a0 = np.asarray(base.render(512), np.float64)
+        sharded = shard_synth(build(), make_mesh(8))
+        a8 = np.asarray(sharded.render(512), np.float64)
+        peak = max(np.abs(a0).max(), 1e-30)
+        assert np.abs(a8 - a0).max() / peak < 1e-5
