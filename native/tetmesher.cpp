@@ -418,6 +418,16 @@ int tetmesh_delaunay(
     const double diag = std::sqrt(norm2(hi - lo));
     if (!(diag > 0)) return 2;
     double h = lattice_h > 0 ? lattice_h : std::max({hi.x - lo.x, hi.y - lo.y, hi.z - lo.z}) / 16.0;
+    // BCC interior seeding (isosurface-stuffing style): the cubic lattice ALONE is
+    // maximally co-spherical — every cell's 8 corners lie on one sphere, so the
+    // Bowyer-Watson tie-breaks emit near-zero-volume slivers at whatever scale the
+    // degeneracy jitter is (measured on the quickstart torus: element quality
+    // vol/lmax^3 down to 1e-6, which explodes the FEM pencil's conditioning and
+    // breaks the f32 inner solve). Adding the body-centered sublattice makes the
+    // Delaunay the classic BCC disphenoid mesh: unique, tie-free, uniform quality
+    // ~3e-2. The spacing is scaled by 2^(1/3) so the POINT DENSITY (hence dof count
+    // and element size) matches the caller's requested cubic spacing.
+    h *= 1.2599210498948732;
 
     InsideTester inside;
     inside.build(points, npoints, tris, ntris);
@@ -510,10 +520,16 @@ int tetmesh_delaunay(
         };
 
         std::vector<double> xs;
-        for (int axis = 0; axis < 3; ++axis) {
+        for (int pass = 0; pass < 4; ++pass) {
+            // Passes 0-1: the axis-0 grid scan for the two BCC sublattices (corner
+            // phase 0, body-center phase h/2 on all three axes). Passes 2-3: the y/z
+            // thin-interval hunts (phase 0 only — thin seeds are clearance-gated and
+            // deduped, so one phase suffices).
+            const int axis = pass < 2 ? 0 : pass - 1;
+            const double x_phase = pass == 1 ? 0.5 * h : 0.0;
             const int u_ax = (axis + 1) % 3, v_ax = (axis + 2) % 3;
-            for (double u = los[u_ax] + 0.5 * h; u < his[u_ax]; u += h)
-                for (double v = los[v_ax] + 0.5 * h; v < his[v_ax]; v += h) {
+            for (double u = los[u_ax] + 0.5 * h + x_phase; u < his[u_ax]; u += h)
+                for (double v = los[v_ax] + 0.5 * h + x_phase; v < his[v_ax]; v += h) {
                     testers[axis]->line_crossings(u + jy, v + jz, xs);
                     if (xs.size() & 1) continue;  // grazed a degeneracy; skip the line
                     for (size_t k = 0; k + 1 < xs.size(); k += 2) {
@@ -531,8 +547,11 @@ int tetmesh_delaunay(
                         if (axis == 0) {
                             // The regular grid rides the x lines only (identical point
                             // set to a full 3-D grid scan); y/z lines contribute
-                            // thin-interval seeds alone.
-                            const double start = los[0] + 0.5 * h;
+                            // thin-interval seeds alone. Each x line belongs to the
+                            // corner sublattice (u,v on the .5h grid) or, when the
+                            // half-offset lines are scanned below, the body-centered
+                            // one — both place points at their sublattice's x phase.
+                            const double start = los[0] + 0.5 * h + x_phase;
                             double g = start + std::ceil((x0 - start) / h) * h;
                             for (; g < x1; g += h) {
                                 const V3 p = world(g);
