@@ -80,7 +80,64 @@ def gram64c(u, v):
 
 
 def _col_dots(a, b):
-    return jnp.einsum("np,np->p", a, b, preferred_element_type=jnp.float64)
+    """Per-column dot products at f64 grade via the gram64c trick: one full-f32
+    elementwise reduce per 512-row chunk, chunk partials summed in f64. The direct
+    einsum with preferred_element_type=f64 runs EMULATED f64 multiply-adds over the
+    whole (n, p) panel — measured as a multi-ms cost per call at bench width, and
+    this helper sits in the inner-PCG loop (3 calls/step) and every basis pass."""
+    n = a.shape[0]
+    pad = (-n) % GRAM_CHUNK
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    ac = a.reshape(-1, GRAM_CHUNK, a.shape[1])
+    bc = b.reshape(-1, GRAM_CHUNK, b.shape[1])
+    parts = jnp.einsum("cnp,cnp->cp", ac, bc)  # f32 per chunk
+    return jnp.sum(parts.astype(jnp.float64), axis=0)
+
+
+def _ns_inv_sqrt(m, f32_iters: int = 16, f64_iters: int = 3):
+    """Symmetric z with z m z = I for SPD f64 `m`, by the coupled Newton-Schulz
+    (Denman-Beavers) iteration — MATMULS ONLY, no factorization.
+
+    Why: the Rayleigh-Ritz fold's f64 Cholesky + triangular inverse are partially
+    SEQUENTIAL algorithms whose emulated-f64 steps serialize — measured ~120 ms per
+    _rr_fold at bench width (813^2), ~19% of the whole outer iteration. The coupled
+    iteration y <- y t, z <- t z with t = (3I - z y)/2 is quadratically convergent
+    for spec(m_s) in (0, 1], runs its climb in full-f32 MXU passes, and two or
+    three f64 steps square the f32 floor down to ~1e-12. Frobenius pre-scaling
+    m_s = m / ||m||_F guarantees the spectrum bound; the result un-scales as
+    z = z_s / sqrt(||m||_F) (z_s m_s z_s = I is scale-covariant).
+
+    Precision is NON-critical here: z only rotates the fold's eigvector basis —
+    the returned Ritz values are recomputed as exact f64 Rayleigh quotients of the
+    original pencil, and _refine_sym corrects the vectors against the exact fold."""
+    f64 = jnp.float64
+    k = m.shape[0]
+    nrm = jnp.sqrt(jnp.sum(m * m))
+    ms = m / nrm
+    y32 = ms.astype(jnp.float32)
+    z32 = jnp.eye(k, dtype=jnp.float32)
+    eye3_32 = 3.0 * jnp.eye(k, dtype=jnp.float32)
+
+    def body32(_, yz):
+        y, z = yz
+        t = 0.5 * (eye3_32 - z @ y)
+        return y @ t, t @ z
+
+    y32, z32 = jax.lax.fori_loop(0, f32_iters, body32, (y32, z32))
+    y = y32.astype(f64)
+    z = z32.astype(f64)
+    eye3 = 3.0 * jnp.eye(k, dtype=f64)
+
+    def body64(_, yz):
+        y, z = yz
+        t = 0.5 * (eye3 - z @ y)
+        return y @ t, t @ z
+
+    y, z = jax.lax.fori_loop(0, f64_iters, body64, (y, z))
+    z = 0.5 * (z + z.T)
+    return z * jax.lax.rsqrt(nrm)
 
 
 def _rr_fold(a, b, p_want: int, s_hint):
@@ -111,16 +168,18 @@ def _rr_fold(a, b, p_want: int, s_hint):
     neg = jnp.maximum(-jnp.min(jnp.diagonal(a)), 0.0)
     s = jnp.maximum(jnp.maximum(s_hint.astype(f64), 1e-7 * amax), 1.0)
     s = jnp.maximum(s, 8.0 * neg)
-    # Whiten through the shifted pencil: ell ell^T = a + s b, g = ell^-1 b ell^-T.
-    # Eigenpairs (mu, y) of g give pencil Ritz pairs theta = 1/mu - s, c = ell^-T y.
-    ell = jnp.linalg.cholesky(a + s * b)
-    linv = jax.scipy.linalg.solve_triangular(ell, jnp.eye(n3, dtype=f64), lower=True)
-    g = linv @ (b @ linv.T)
+    # Whiten through the shifted pencil with the SYMMETRIC inverse square root
+    # z (z (a+s b) z = I, _ns_inv_sqrt): g = z b z. Eigenpairs (mu, y) of g give
+    # pencil Ritz pairs theta = 1/mu - s, c = z y — same fold algebra as the
+    # Cholesky form (z^2 = (a+s b)^-1 since z commutes with its argument), but
+    # built from MXU matmuls instead of sequential emulated-f64 factorizations.
+    z = _ns_inv_sqrt(a + s * b)
+    g = z @ (b @ z)
     g = 0.5 * (g + g.T)
     y = _refine_sym(g, jnp.linalg.eigh(g.astype(jnp.float32))[1].astype(f64))
     mu = jnp.einsum("ij,ij->j", y, g @ y)
     order1 = jnp.argsort(-mu)
-    c1 = linv.T @ y[:, order1[:p_want]]
+    c1 = z @ y[:, order1[:p_want]]
     # Second fold inside the selected window: resolves the low-theta end that the wide
     # fold compresses (all wanted mu cluster near the top when s ~ window top).
     a2 = c1.T @ (a @ c1)
@@ -132,14 +191,12 @@ def _rr_fold(a, b, p_want: int, s_hint):
     d_min = jnp.maximum(jnp.min(d2), 1e-9 * d_max)
     s2 = jnp.sqrt(d_min * d_max)
     s2 = jnp.maximum(s2, 8.0 * jnp.maximum(-jnp.min(d2), 0.0))  # see `neg` above
-    ell2 = jnp.linalg.cholesky(a2 + s2 * b2)
-    e_p = jnp.eye(p_want, dtype=f64)
-    l2inv = jax.scipy.linalg.solve_triangular(ell2, e_p, lower=True)
-    g2 = l2inv @ (b2 @ l2inv.T)
+    z2 = _ns_inv_sqrt(a2 + s2 * b2)
+    g2 = z2 @ (b2 @ z2)
     g2 = 0.5 * (g2 + g2.T)
     y2 = _refine_sym(g2, jnp.linalg.eigh(g2.astype(jnp.float32))[1].astype(f64))
     mu2 = jnp.einsum("ij,ij->j", y2, g2 @ y2)
-    c = c1 @ (l2inv.T @ y2[:, jnp.argsort(-mu2)])
+    c = c1 @ (z2 @ y2[:, jnp.argsort(-mu2)])
     # Exact f64 Rayleigh quotients of the returned columns, unit-b-norm, ascending.
     ac = a @ c
     bc = b @ c
@@ -173,6 +230,13 @@ def _kill_collapsed(pre2, w, mw, kw):
 
 
 _QR_RIDGE = 3e-5  # CholQR Gram ridge; sits above the chunked-Gram noise floor
+
+# Soft-locking schedule (see _iter_stage's `lock`): lock in steps of _LOCK_STEP
+# columns (coarse buckets bound the recompile count) with a _LOCK_MARGIN safety gap
+# below the observed settled prefix, so a transient settle regression never locks an
+# unconverged column out of its W/P corrections.
+_LOCK_STEP = 64
+_LOCK_MARGIN = 16
 
 
 def _chol_qr_m(w, mw, kw, passes=2):
@@ -264,10 +328,10 @@ def _init_stage(ops, x):
     return s, ks, ms, a, b, theta, c
 
 
-@partial(jax.jit, static_argnames=("inner_iters", "refresh"))
+@partial(jax.jit, static_argnames=("inner_iters", "refresh", "lock"))
 @_precise
 def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
-                inner_iters, abs_sigma, refresh: bool = False):
+                inner_iters, abs_sigma, refresh: bool = False, lock: int = 0):
     """One full LOBPCG iteration, Rayleigh-Ritz included — a single device program.
 
     Recombine [X | P] from the carried f32 panels (the basis is spectrally smooth, so
@@ -276,6 +340,13 @@ def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
     noise), form residuals, precondition (AMG-PCG), then rebuild an M-orthonormal
     [X | W | P] basis: W/P are M-projected against X (and P against W) and CholQR'd.
     One fused K/M apply per iteration (on W); everything else is matmuls.
+
+    `lock` (static) is SOFT LOCKING (the reference's SubspaceIterate lock/deflate,
+    mesh2modes.cpp:339-428, in LOBPCG form): the leading `lock` settled columns stay
+    in X — still Rayleigh-Ritz'd every iteration, so drift keeps being corrected —
+    but get no W/P columns: the inner PCG, the fused K/M apply, both CholQRs, and
+    the fold all shrink to the active suffix. The driver raises `lock` in coarse
+    buckets (bounded recompiles) as the settled prefix grows.
     """
     from .lobpcg import _pcg_block
 
@@ -286,9 +357,10 @@ def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
     x = s @ c32
     kx = ks @ c32
     mx = ms @ c32
-    pdir = s @ c_wp
-    kp = ks @ c_wp
-    mp = ms @ c_wp
+    c_wp_act = c_wp[:, lock:]  # momentum only for the unlocked suffix
+    pdir = s @ c_wp_act
+    kp = ks @ c_wp_act
+    mp = ms @ c_wp_act
 
     # Exact congruence of the carried X Grams + fresh unit-M-norm scaling.
     axx = c.T @ (a @ c)
@@ -324,7 +396,7 @@ def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
         + 1e-300
     )
 
-    w = _pcg_block(shifted.amat, precond, r, inner_iters)
+    w = _pcg_block(shifted.amat, precond, r[:, lock:], inner_iters)
     # Rigid deflation: the rigid-body modes are solved EXACTLY outside this loop
     # (they are known in closed form; lobpcg_pencil prepends them with eigenvalue 0).
     # Near-zero eigenvalues have no relative scale, so inside an f32-carried basis
@@ -433,12 +505,14 @@ def ortho_lobpcg(
     best_settled = -1
     since_improve = 0
     refresh_every = 4
+    lock = 0
+    lock_cap = max(p - _LOCK_STEP, 0)
 
     for it in range(1, max_iters + 1):
         refresh = it % refresh_every == 0
         s, ks, ms, a, b, c, theta_d, rel_d, res_d = _iter_stage(
             ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
-            inner_iters, sig_d, refresh=refresh,
+            inner_iters, sig_d, refresh=refresh, lock=lock,
         )
         ops_count += 2 + inner_iters + (4 if refresh else 0)
         if pending is not None:
@@ -446,6 +520,11 @@ def ortho_lobpcg(
                 pending, prev, nev, tol, sigma, floor_rel, res_exit, callback,
                 debug, last_t,
             )
+            bucket = min(
+                max(settled_now - _LOCK_MARGIN, 0) // _LOCK_STEP * _LOCK_STEP,
+                lock_cap,
+            )
+            lock = max(lock, bucket)
             prev = lam if lam is not None else prev
             if status == "cancel":
                 return None, "cancel", it, ops_count

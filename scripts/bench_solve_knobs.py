@@ -18,7 +18,11 @@ import mesheditor_tpu  # noqa: F401
 from mesheditor_tpu import SolverConfig
 from mesheditor_tpu.materials import CERAMIC
 from mesheditor_tpu.mesh import box_tets
-from mesheditor_tpu.solve import mesh2modes as m2m
+import importlib
+
+m2m = importlib.import_module("mesheditor_tpu.solve.mesh2modes")  # the module
+# (solve/__init__ rebinds the package attribute `mesh2modes` to the FUNCTION, so
+# `import ... as` — which resolves via getattr — would return the function.)
 
 inner = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 coarse = int(sys.argv[2]) if len(sys.argv) > 2 else 4096

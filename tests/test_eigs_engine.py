@@ -172,7 +172,7 @@ class _FakeStages:
         monkeypatch.setattr(eigs, "_extract", lambda s, c: jnp.zeros((n, p), jnp.float32))
 
     def _iter(self, ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
-              inner_iters, abs_sigma, refresh=False):
+              inner_iters, abs_sigma, refresh=False, lock=0):
         theta, rel = self.script[min(self.i, len(self.script) - 1)]
         self.i += 1
         p = self.c.shape[1]
@@ -278,3 +278,47 @@ class TestSolverConfigClamp:
         # In-bounds config is returned unchanged (same values).
         d = SolverConfig().clamp()
         assert d == SolverConfig()
+
+
+class TestSoftLocking:
+    def test_locked_solve_matches_unlocked(self, monkeypatch):
+        """Soft locking (W/P shrink to the unsettled suffix) must not change the
+        answer: eigenvalues match the unlocked solve within the settling tolerance,
+        and the lock actually engages under a small bucket size."""
+        import mesheditor_tpu.solve.eigs as eigs
+        from mesheditor_tpu import SolverConfig, mesh2modes
+        from mesheditor_tpu.materials import CERAMIC
+        from mesheditor_tpu.mesh import bar_tets
+
+        bar = bar_tets(0.2, 0.06, 0.05, 7, 3, 3)
+        cfg = SolverConfig(num_modes=16, num_fem_modes=24, small_n=0,
+                          tolerance=1e-8, max_mode_freq=96_000.0)
+        ex = bar.points[:: max(bar.points.shape[0] // 6, 1)][:6]
+
+        locks_seen = []
+        real_iter = eigs._iter_stage
+
+        def spy(*args, **kw):
+            locks_seen.append(kw.get("lock", 0))
+            return real_iter(*args, **kw)
+
+        monkeypatch.setattr(eigs, "_LOCK_STEP", 4)
+        monkeypatch.setattr(eigs, "_LOCK_MARGIN", 2)
+        monkeypatch.setattr(eigs, "_iter_stage", spy)
+        r_locked = mesh2modes(bar, CERAMIC.properties, ex, config=cfg)
+
+        monkeypatch.setattr(eigs, "_LOCK_STEP", 10**9)
+        locks_unlocked = []
+
+        def spy2(*args, **kw):
+            locks_unlocked.append(kw.get("lock", 0))
+            return real_iter(*args, **kw)
+
+        monkeypatch.setattr(eigs, "_iter_stage", spy2)
+        r_plain = mesh2modes(bar, CERAMIC.properties, ex, config=cfg)
+
+        assert max(locks_seen) > 0, "locking never engaged"
+        assert max(locks_unlocked) == 0
+        f_l = np.asarray(r_locked.summary.eigenvalues)
+        f_p = np.asarray(r_plain.summary.eigenvalues)
+        np.testing.assert_allclose(f_l, f_p, rtol=1e-6)
