@@ -885,9 +885,23 @@ _TYPE_WIDTH = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
 
 def _read_view_elements(gltf, buffers, view_idx, byte_offset, comp, width, count):
     """Elements from a bufferView honoring byteStride (interleaved vertex buffers —
-    common in third-party exporters, never produced by this one)."""
+    common in third-party exporters, never produced by this one).
+
+    EXT_meshopt_compression (reference table: README.md:118): the spec's fallback
+    pattern is honored — the plain bufferView.buffer holds a byte-identical
+    uncompressed fallback when the exporter provided one (gltfpack default), which
+    this reads directly; a view whose only payload is the compressed stream (no
+    fallback bytes) is rejected with a clear error instead of misread."""
     view = gltf["bufferViews"][view_idx]
     data = buffers[view.get("buffer", 0)]
+    if (view.get("extensions") or {}).get("EXT_meshopt_compression"):
+        needed = view.get("byteOffset", 0) + view.get(
+            "byteLength", view.get("byteStride", 0) * count)
+        if len(data) < needed:
+            raise ValueError(
+                "EXT_meshopt_compression bufferView carries no fallback payload; "
+                "the meshopt codec itself is not implemented — re-export with a "
+                "fallback buffer (gltfpack default) or decompress first")
     start = view.get("byteOffset", 0) + byte_offset
     itemsize = np.dtype(comp).itemsize
     natural = itemsize * width

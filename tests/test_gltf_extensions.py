@@ -369,3 +369,105 @@ class TestImageBasedLights:
         coeffs = sh9_irradiance_coefficients(env)
         rec = equirect_from_sh9(coeffs, height=16)
         assert rec[:4].mean() > rec[-4:].mean()  # bright top survives
+
+
+class TestMeshQuantization:
+    """KHR_mesh_quantization ingestion (reference table: README.md:95): quantized
+    int16 POSITION with node-scale dequantization and normalized uint16 TEXCOORD
+    load to within quantization error of the float original."""
+
+    def _quantize_glb(self, tmp_path):
+        import json as _json
+        import struct as _struct
+
+        r, _ = _scene_with_material()
+        src = tmp_path / "plain.gltf"
+        export_gltf(r, src)
+        gltf = _json.loads(src.read_text())
+        import base64 as _b64
+
+        # Decode the original float positions.
+        from mesheditor_tpu.io.gltf import _read_buffer as _rb
+        buffers = _rb(gltf, src, None)
+        acc = gltf["accessors"][gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"]]
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        raw = buffers[bv.get("buffer", 0)][bv.get("byteOffset", 0):][: bv["byteLength"]]
+        pos = np.frombuffer(raw, np.float32).reshape(-1, 3)
+        lo, hi = pos.min(0), pos.max(0)
+        scale = np.maximum((hi - lo) / 2.0, 1e-12)
+        ctr = (hi + lo) / 2.0
+        q = np.round((pos - ctr) / scale * 32767.0).astype(np.int16)
+        # New quantized buffer: int16 positions appended as a fresh buffer.
+        qbytes = q.tobytes()
+        gltf["buffers"].append({
+            "uri": "data:application/octet-stream;base64," + _b64.b64encode(qbytes).decode(),
+            "byteLength": len(qbytes)})
+        gltf["bufferViews"].append({"buffer": len(gltf["buffers"]) - 1,
+                                    "byteOffset": 0, "byteLength": len(qbytes)})
+        gltf["accessors"].append({
+            "bufferView": len(gltf["bufferViews"]) - 1, "componentType": 5122,
+            "count": int(q.shape[0]), "type": "VEC3",
+            "min": q.min(0).tolist(), "max": q.max(0).tolist()})
+        prim = gltf["meshes"][0]["primitives"][0]
+        prim["attributes"]["POSITION"] = len(gltf["accessors"]) - 1
+        # Dequantization rides the node transform (the spec's pattern).
+        node = gltf["nodes"][0]
+        node["scale"] = (np.asarray(node.get("scale", [1, 1, 1])) * scale / 32767.0).tolist()
+        node["translation"] = (np.asarray(node.get("translation", [0, 0, 0])) + ctr).tolist()
+        for key in ("extensionsUsed", "extensionsRequired"):
+            gltf.setdefault(key, [])
+            if "KHR_mesh_quantization" not in gltf[key]:
+                gltf[key].append("KHR_mesh_quantization")
+        out = tmp_path / "quant.gltf"
+        out.write_text(_json.dumps(gltf))
+        return src, out, pos, scale
+
+    def test_quantized_positions_load_within_tolerance(self, tmp_path):
+        src, out, pos, scale = self._quantize_glb(tmp_path)
+        r2 = import_gltf(out)
+        (e2, surf), = list(r2.view(MeshSurface))
+        got = np.asarray(surf.positions, np.float64)
+        tr = r2.get(e2, Transform)
+        world = got * np.asarray(tr.scale) + np.asarray(tr.translation)
+        tol = np.abs(scale).max() / 32767.0 * 1.5
+        assert np.abs(world - pos).max() <= tol
+
+
+class TestMeshoptCompression:
+    """EXT_meshopt_compression ingestion via the spec's fallback-buffer pattern
+    (reference table: README.md:118): a view with fallback bytes loads normally; a
+    view whose only payload is the compressed stream is rejected with a clear
+    message (the codec itself is out of scope)."""
+
+    def _tagged(self, tmp_path, keep_fallback):
+        import json as _json
+
+        r, _ = _scene_with_material()
+        src = tmp_path / "plain.gltf"
+        export_gltf(r, src)
+        gltf = _json.loads(src.read_text())
+        prim = gltf["meshes"][0]["primitives"][0]
+        acc = gltf["accessors"][prim["attributes"]["POSITION"]]
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        bv.setdefault("extensions", {})["EXT_meshopt_compression"] = {
+            "buffer": 0, "byteOffset": 0, "byteLength": 4,
+            "byteStride": 12, "count": acc["count"], "mode": "ATTRIBUTES"}
+        if not keep_fallback:
+            # Empty out the fallback buffer (undefined content per spec).
+            gltf["buffers"][bv.get("buffer", 0)] = {"byteLength": 0}
+        gltf.setdefault("extensionsUsed", []).append("EXT_meshopt_compression")
+        out = tmp_path / "mo.gltf"
+        out.write_text(_json.dumps(gltf))
+        return out
+
+    def test_fallback_buffer_loads(self, tmp_path):
+        out = self._tagged(tmp_path, keep_fallback=True)
+        r2 = import_gltf(out)
+        assert len(list(r2.view(MeshSurface))) == 1
+
+    def test_no_fallback_rejected_with_clear_error(self, tmp_path):
+        import pytest
+
+        out = self._tagged(tmp_path, keep_fallback=False)
+        with pytest.raises(ValueError, match="meshopt"):
+            import_gltf(out)
