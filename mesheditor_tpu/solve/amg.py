@@ -319,12 +319,41 @@ _AC_CHUNK = 2048
 
 @partial(jax.jit, static_argnames=("nagg",))
 @_precise
+def _pair_block_galerkin(blocks_f32, element_nodes, w32, agg, nagg: int):
+    """sum_e P_e^T A_e P_e accumulated at AGGREGATE-PAIR granularity.
+
+    The per-element coarse contribution t[e, i, j] is a 6x6 block addressed by the
+    aggregate pair (agg[node_i], agg[node_j]); flattening pairs to a linear id turns
+    the accumulation into ONE segment_sum of (E*100, 36) rows into nagg^2 segments —
+    ~36x fewer scatter descriptors than the former per-scalar .at[].add scan, which
+    measured ~0.86 s per solve at bench scale on a v5e (this form: ~tens of ms).
+
+    `blocks_f32` may carry a leading stack axis (S, E, 30, 30) to amortize the
+    gather/scatter across operators (K and M share incidence); returns (S?, nc, nc)
+    f32."""
+    stacked = blocks_f32.ndim == 4
+    if not stacked:
+        blocks_f32 = blocks_f32[None]
+    s = blocks_f32.shape[0]
+    e = element_nodes.shape[0]
+    nc = nagg * 6
+    wn = w32[element_nodes]  # (E, 10, 3, 6)
+    bl = blocks_f32.reshape(s, e, 10, 3, 10, 3)
+    tk = jnp.einsum("seipjq,eipa,ejqb->seijab", bl, wn, wn)  # (S, E, 10, 10, 6, 6)
+    ag = agg[element_nodes]  # (E, 10) aggregate ids (orphans clipped to 0, w rows 0)
+    ids = (ag[:, :, None] * nagg + ag[:, None, :]).reshape(-1)  # (E*100,)
+    data = tk.transpose(1, 2, 3, 0, 4, 5).reshape(e * 100, s * 36)
+    acc = jax.ops.segment_sum(data, ids, num_segments=nagg * nagg)
+    acc = acc.reshape(nagg, nagg, s, 6, 6).transpose(2, 0, 3, 1, 4).reshape(s, nc, nc)
+    return acc if stacked else acc[0]
+
+
 def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, sigma, nagg):
-    """Galerkin coarse operator Ac = P^T (K - sigma*M) P, scanned in chunks on device.
+    """Galerkin coarse operator Ac = P^T (K - sigma*M) P on device.
 
     Runs in FULL-f32 (inputs cast, f64 result): the measured f64 version cost ~6.3 s
-    per solve on a v5e (emulated-f64 batched einsum + a 35M-element f64 scatter),
-    while f32 is ~milliseconds. Precision budget: per-entry Galerkin noise is
+    per solve on a v5e (emulated-f64 batched einsum + a 35M-element f64 scatter).
+    Precision budget: per-entry Galerkin noise is
     ~30*eps32*||A_e|| ~ 1e-6 relative to the coarse diagonal scale. The two places
     that used to demand f64 are covered elsewhere — the rigid block (true values
     ~1e-10 relative, pure cancellation in any precision) is LIFTED to 1e-3 of the
@@ -332,67 +361,29 @@ def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, sigma, n
     directions (~1e-5 of the top) see at most ~1e-1 relative perturbation, which
     only shifts PRECONDITIONER quality, not solver correctness."""
     f32 = jnp.float32
-    nc = nagg * 6
-    e_total = k_blocks.shape[0]
-    pad = (-e_total) % _AC_CHUNK
     ab = (k_blocks.astype(f32)
           - sigma.astype(f32) * (rho_vol.astype(f32)[:, None, None]
                                  * m_unit.astype(f32)[None]))
-    ab = jnp.pad(ab, ((0, pad), (0, 0), (0, 0)))
-    en = jnp.pad(element_nodes, ((0, pad), (0, 0)))
-    # Padded elements scatter zeros (their blocks are zero) — node ids 0 are fine.
-    nsteps = ab.shape[0] // _AC_CHUNK
-    ab = ab.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
-    en = en.reshape(nsteps, _AC_CHUNK, 10)
-    w32 = w.astype(f32)
-
-    def step(ac, chunk):
-        blocks, nodes = chunk
-        wn = w32[nodes]  # (C, 10, 3, 6)
-        t = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, blocks, wn)
-        ii = agg6[nodes][:, :, :, None, None]  # (C, 10, 6, 1, 1)
-        jj = agg6[nodes][:, None, None, :, :]  # (C, 1, 1, 10, 6)
-        return ac.at[ii, jj].add(t), None
-
-    ac0 = jnp.zeros((nc, nc), f32)
-    ac, _ = jax.lax.scan(step, ac0, (ab, en))
+    agg = agg6[:, 0] // 6
+    ac = _pair_block_galerkin(ab, element_nodes, w.astype(f32), agg, int(nagg))
     return ac.astype(jnp.float64)
 
 
 @partial(jax.jit, static_argnames=("nagg",))
 @_precise
 def _coarse_assemble_pencil(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, nagg):
-    """Galerkin coarse PENCIL (Kc, Mc) = (P^T K P, P^T M P) in one chunked scan — the
-    same gather traffic as the single-operator assembly (_coarse_assemble), two
-    einsums per chunk instead of one. Mc closes the coarse generalized eigenproblem
-    that the spectral seed (spectral_seed) inverse-iterates; Kc - sigma*Mc is the
-    shifted operator the V-cycle inverts."""
+    """Galerkin coarse PENCIL (Kc, Mc) = (P^T K P, P^T M P) in one pair-block pass —
+    K and M stack on a leading axis so the gather and the segment_sum are shared
+    (_pair_block_galerkin). Mc closes the coarse generalized eigenproblem that the
+    spectral seed (spectral_seed) inverse-iterates; Kc - sigma*Mc is the shifted
+    operator the V-cycle inverts."""
     f32 = jnp.float32
-    nc = nagg * 6
-    e_total = k_blocks.shape[0]
-    pad = (-e_total) % _AC_CHUNK
-    kb = jnp.pad(k_blocks.astype(f32), ((0, pad), (0, 0), (0, 0)))
+    kb = k_blocks.astype(f32)
     mb = rho_vol.astype(f32)[:, None, None] * m_unit.astype(f32)[None]
-    mb = jnp.pad(mb, ((0, pad), (0, 0), (0, 0)))
-    en = jnp.pad(element_nodes, ((0, pad), (0, 0)))
-    nsteps = kb.shape[0] // _AC_CHUNK
-    kb = kb.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
-    mb = mb.reshape(nsteps, _AC_CHUNK, 10, 3, 10, 3)
-    en = en.reshape(nsteps, _AC_CHUNK, 10)
-    w32 = w.astype(f32)
-
-    def step(carry, chunk):
-        kc, mc = carry
-        kbl, mbl, nodes = chunk
-        wn = w32[nodes]  # (C, 10, 3, 6)
-        tk = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, kbl, wn)
-        tm = jnp.einsum("cipa,cipjq,cjqb->ciajb", wn, mbl, wn)
-        ii = agg6[nodes][:, :, :, None, None]
-        jj = agg6[nodes][:, None, None, :, :]
-        return (kc.at[ii, jj].add(tk), mc.at[ii, jj].add(tm)), None
-
-    z = jnp.zeros((nc, nc), f32)
-    (kc, mc), _ = jax.lax.scan(step, (z, z), (kb, mb, en))
+    agg = agg6[:, 0] // 6
+    kc, mc = _pair_block_galerkin(
+        jnp.stack([kb, mb]), element_nodes, w.astype(f32), agg, int(nagg)
+    )
     return kc.astype(jnp.float64), mc.astype(jnp.float64)
 
 
@@ -435,15 +426,34 @@ def _coarse_invert(ac):
     # X0 = I / ||As||_F guarantees mu0 = lambda/||As||_F in (0, 1] for SPD As.
     nrm = jnp.sqrt(jnp.sum(a_s * a_s))
     a_s32 = a_s.astype(jnp.float32)
-    x32 = jnp.eye(nc, dtype=jnp.float32) / nrm.astype(jnp.float32)
     eye2_32 = 2.0 * jnp.eye(nc, dtype=jnp.float32)
+
+    # The log2(cond) CLIMB is self-correcting, so it runs in bf16 (native MXU rate,
+    # ~4x the f32 pass at this size): iterates stay bf16, products accumulate f32.
+    # The bf16 residual floor (~1e-2) hands off to a short f32 tail that squares it
+    # to the f32 floor (~1e-6), and two f64 steps square THAT to ~1e-12 — same
+    # ladder as before with the expensive rungs shortened (measured 0.95 s -> ~0.3 s
+    # per build at nc=4096 on a v5e).
+    a_bf = a_s32.astype(jnp.bfloat16)
+    x_bf = (jnp.eye(nc, dtype=jnp.float32) / nrm.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body_bf(_, x):
+        ax = jnp.dot(a_bf, x, preferred_element_type=jnp.float32)
+        x32 = jnp.dot(
+            x, (eye2_32 - ax).astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        x32 = 0.5 * (x32 + x32.T)  # symmetrize: keeps the iterate SPD under roundoff
+        return x32.astype(jnp.bfloat16)
+
+    x_bf = jax.lax.fori_loop(0, 48, body_bf, x_bf)
+    x32 = x_bf.astype(jnp.float32)
 
     def body32(_, x):
         ax = a_s32 @ x
         x = x @ (eye2_32 - ax)
-        return 0.5 * (x + x.T)  # symmetrize: keeps the iterate SPD under roundoff
+        return 0.5 * (x + x.T)
 
-    x32 = jax.lax.fori_loop(0, 60, body32, x32)
+    x32 = jax.lax.fori_loop(0, 8, body32, x32)
     x = x32.astype(ac.dtype)
     eye2 = 2.0 * jnp.eye(nc, dtype=ac.dtype)
 
@@ -452,7 +462,7 @@ def _coarse_invert(ac):
         x = x @ (eye2 - ax)
         return 0.5 * (x + x.T)
 
-    x = jax.lax.fori_loop(0, 4, body64, x)
+    x = jax.lax.fori_loop(0, 2, body64, x)
     return (x * dinv_sqrt[:, None] * dinv_sqrt[None, :]).astype(jnp.float32)
 
 
