@@ -59,7 +59,10 @@ class SolverConfig:
     # src/audio/CholeskyShiftInvert.cpp; these parameterize the iterative replacement).
     # Bounds are enforced by clamp() below, FieldLimits-style (src/FieldLimits.h).
     guard: int = 15  # extra solved columns beyond num_fem_modes [0, 512]
-    inner_iters: int = 16  # preconditioned-CG steps per outer iteration [1, 256]
+    # Swept on the v5e bench (box, 44k dofs, 256 modes): 16 -> 14 outers/6.5s,
+    # 10 -> 14 outers/5.1s, 8 -> 19 outers/5.6s — the outer iteration count is flat
+    # down to ~10 inner steps, so every step past that is pure cost.
+    inner_iters: int = 10  # preconditioned-CG steps per outer iteration [1, 256]
     small_n: int = 9000  # below this many dofs: host sparse shift-invert [0, 1e9]
     host_fallback_n: int = 120_000  # non-convergence host-fallback cap (dofs) [0, 1e9]
     tol_accept: float = 1e-4  # budget-exhaustion acceptance floor [tolerance, 1e-2]
