@@ -312,8 +312,9 @@ def _rigid_weights(coords: np.ndarray, agg: np.ndarray, nagg: int):
     return w
 
 
-# Elements per coarse-assembly scan step: bounds the (chunk, 10, 6, 10, 6)
-# temporary to ~30 MB.
+# Elements per coarse-assembly chunk: bounds the (S, chunk, 10, 10, 6, 6) einsum
+# temporary to ~60 MB (ADVICE r4: the unchunked pass materialized ~29 KB/element —
+# GB-scale near the host-fallback ceiling).
 _AC_CHUNK = 2048
 
 
@@ -324,9 +325,11 @@ def _pair_block_galerkin(blocks_f32, element_nodes, w32, agg, nagg: int):
 
     The per-element coarse contribution t[e, i, j] is a 6x6 block addressed by the
     aggregate pair (agg[node_i], agg[node_j]); flattening pairs to a linear id turns
-    the accumulation into ONE segment_sum of (E*100, 36) rows into nagg^2 segments —
+    the accumulation into segment_sums of (chunk*100, 36) rows into nagg^2 segments —
     ~36x fewer scatter descriptors than the former per-scalar .at[].add scan, which
     measured ~0.86 s per solve at bench scale on a v5e (this form: ~tens of ms).
+    A lax.scan over _AC_CHUNK-element chunks accumulates into the same nagg^2
+    segment space, capping the einsum temporary (ADVICE r4).
 
     `blocks_f32` may carry a leading stack axis (S, E, 30, 30) to amortize the
     gather/scatter across operators (K and M share incidence); returns (S?, nc, nc)
@@ -337,17 +340,42 @@ def _pair_block_galerkin(blocks_f32, element_nodes, w32, agg, nagg: int):
     s = blocks_f32.shape[0]
     e = element_nodes.shape[0]
     nc = nagg * 6
-    wn = w32[element_nodes]  # (E, 10, 3, 6)
-    bl = blocks_f32.reshape(s, e, 10, 3, 10, 3)
-    tk = jnp.einsum("seipjq,eipa,ejqb->seijab", bl, wn, wn)  # (S, E, 10, 10, 6, 6)
-    ag = agg[element_nodes]  # (E, 10) aggregate ids (orphans clipped to 0, w rows 0)
-    ids = (ag[:, :, None] * nagg + ag[:, None, :]).reshape(-1)  # (E*100,)
-    data = tk.transpose(1, 2, 3, 0, 4, 5).reshape(e * 100, s * 36)
-    acc = jax.ops.segment_sum(data, ids, num_segments=nagg * nagg)
+
+    def chunk_contrib(en_c, bl_c):
+        ch = en_c.shape[0]
+        wn = w32[en_c]  # (ch, 10, 3, 6)
+        bl = bl_c.reshape(s, ch, 10, 3, 10, 3)
+        tk = jnp.einsum("seipjq,eipa,ejqb->seijab", bl, wn, wn)  # (S, ch, 10, 10, 6, 6)
+        ag = agg[en_c]  # (ch, 10) aggregate ids (orphans clipped to 0, w rows 0)
+        ids = (ag[:, :, None] * nagg + ag[:, None, :]).reshape(-1)  # (ch*100,)
+        data = tk.transpose(1, 2, 3, 0, 4, 5).reshape(ch * 100, s * 36)
+        return jax.ops.segment_sum(data, ids, num_segments=nagg * nagg)
+
+    if e <= _AC_CHUNK:
+        acc = chunk_contrib(element_nodes, blocks_f32)
+    else:
+        pad = (-e) % _AC_CHUNK
+        # Padding elements carry zero blocks: their pair contributions are zeros
+        # scattered into whatever aggregate pair node 0 maps to — a no-op.
+        en_p = jnp.pad(element_nodes, ((0, pad), (0, 0)))
+        bl_p = jnp.pad(blocks_f32, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        n_chunks = (e + pad) // _AC_CHUNK
+        en_cs = en_p.reshape(n_chunks, _AC_CHUNK, 10)
+        bl_cs = jnp.moveaxis(
+            bl_p.reshape(s, n_chunks, _AC_CHUNK, 30, 30), 1, 0)
+
+        def body(acc, args):
+            en_c, bl_c = args
+            return acc + chunk_contrib(en_c, bl_c), None
+
+        acc0 = jnp.zeros((nagg * nagg, s * 36), blocks_f32.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (en_cs, bl_cs))
     acc = acc.reshape(nagg, nagg, s, 6, 6).transpose(2, 0, 3, 1, 4).reshape(s, nc, nc)
     return acc if stacked else acc[0]
 
 
+@partial(jax.jit, static_argnames=("nagg",))
+@_precise
 def _coarse_assemble(k_blocks, rho_vol, m_unit, element_nodes, w, agg6, sigma, nagg):
     """Galerkin coarse operator Ac = P^T (K - sigma*M) P on device.
 
@@ -435,7 +463,8 @@ def _coarse_invert(ac):
     # ladder as before with the expensive rungs shortened (measured 0.95 s -> ~0.3 s
     # per build at nc=4096 on a v5e).
     a_bf = a_s32.astype(jnp.bfloat16)
-    x_bf = (jnp.eye(nc, dtype=jnp.float32) / nrm.astype(jnp.float32)).astype(jnp.bfloat16)
+    x0_32 = jnp.eye(nc, dtype=jnp.float32) / nrm.astype(jnp.float32)
+    x_bf = x0_32.astype(jnp.bfloat16)
 
     def body_bf(_, x):
         ax = jnp.dot(a_bf, x, preferred_element_type=jnp.float32)
@@ -454,6 +483,24 @@ def _coarse_invert(ac):
         return 0.5 * (x + x.T)
 
     x32 = jax.lax.fori_loop(0, 8, body32, x32)
+    # GUARDED handoff (ADVICE r4): the bf16 climb diverges for equilibrated operators
+    # with cond >= ~1e4 (its residual floor exceeds the Newton-Schulz convergence
+    # ball). Real rigid-lifted operators measure cond ~8e2, but the elastic band is
+    # budgeted to ~1e5 (module docstring) and a NaN/garbage inverse would silently
+    # drop every solve onto the slow host fallback. Check the mean-square residual of
+    # I - As X AFTER the f32 tail (any marginal direction the bf16 phase pushed
+    # outside the ball has been amplified to NaN/huge by eight more squarings — the
+    # check cannot be fooled by a small average hiding one bad direction); on failure
+    # discard and re-run the robust 60-step f32 climb from X0 (the pre-bf16 ladder,
+    # which converges through cond ~1e5; verified in test_amg.py).
+    res32 = jnp.mean(jnp.square(jnp.eye(nc, dtype=jnp.float32) - a_s32 @ x32))
+    bf_ok = jnp.isfinite(res32) & (res32 < 1e-3)
+    x32 = jax.lax.cond(
+        bf_ok,
+        lambda x: x,
+        lambda _: jax.lax.fori_loop(0, 60, body32, x0_32),
+        x32,
+    )
     x = x32.astype(ac.dtype)
     eye2 = 2.0 * jnp.eye(nc, dtype=ac.dtype)
 

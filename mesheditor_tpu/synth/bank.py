@@ -294,13 +294,30 @@ def build_bank(
     # at 64 instances (~2.4 s vs ~0.3 s for the render itself on a v5e behind the axon
     # tunnel). Unique models upload once; the per-object bank expands by a device-side
     # take along the object axis.
-    uniq_ids: dict[int, int] = {}
+    # Dedup key: a cheap content fingerprint, not id() (ADVICE r4) — equal-content but
+    # distinct ModalModes objects (each entity loading its own copy from the
+    # content-addressed model store) must still share one upload. Hashing the freqs
+    # bytes + array shapes is O(num_modes) per model (cheap next to the packed build)
+    # and collision-safe enough: a false merge needs byte-identical frequency arrays
+    # AND equal shapes/t60s array dims with different contents — t60s/shapes bytes are
+    # folded in too, so merge means full content equality.
+    def _fingerprint(m: ModalModes):
+        return (
+            m.num_modes,
+            m.shapes.shape,
+            hash(np.ascontiguousarray(m.freqs).tobytes()),
+            hash(np.ascontiguousarray(m.t60s).tobytes()),
+            hash(np.ascontiguousarray(m.shapes).tobytes()),
+        )
+
+    uniq_ids: dict[tuple, int] = {}
     obj_to_uniq = np.zeros(n_obj, np.int32)
     uniq_models = []
     for o, m in enumerate(modes_list):
-        u = uniq_ids.get(id(m))
+        key = _fingerprint(m)
+        u = uniq_ids.get(key)
         if u is None:
-            u = uniq_ids[id(m)] = len(uniq_models)
+            u = uniq_ids[key] = len(uniq_models)
             uniq_models.append(m)
         obj_to_uniq[o] = u
 
@@ -319,10 +336,10 @@ def build_bank(
             p = m.shapes.shape[0]
             shapes[u, :p, :k, :] = m.shapes
 
+    # Unity mix when no gains are given — a zero default renders silence with no
+    # hint of why (api.make_synth passes the reference's mass-normalized gains).
     out_gain = np.ones(n_obj, np.float32)
     if gains is not None:
-        # Unity mix when no gains are given — a zero default renders silence with no
-        # hint of why (api.make_synth passes the reference's mass-normalized gains).
         out_gain[:] = np.asarray(gains, np.float32)
 
     sel = jnp.asarray(obj_to_uniq)

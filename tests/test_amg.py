@@ -80,6 +80,27 @@ class TestCoarseOperator:
         # symmetric
         assert np.abs(aci - aci.T).max() < 1e-10 * np.abs(aci).max()
 
+    @pytest.mark.parametrize("cond", [1e2, 1e4, 1e5])
+    def test_coarse_invert_accuracy_at_conditioning(self, cond):
+        """_coarse_invert round-trips accurately across the budgeted elastic band
+        (module docstring: ~1e5), exercising the DEVICE Newton-Schulz ladder directly
+        (build_amg bypasses it on the CPU backend, so without this test the bf16
+        climb's divergence guard would ship untested — ADVICE r4). The guard must
+        catch the bf16 phase diverging at cond >= ~1e4 and fall back to the robust
+        f32 climb."""
+        rng = np.random.default_rng(3)
+        nc = 192
+        q, _ = np.linalg.qr(rng.standard_normal((nc, nc)))
+        lam = np.logspace(0, np.log10(cond), nc)
+        a = (q * lam[None, :]) @ q.T
+        a = 0.5 * (a + a.T)
+        inv = np.asarray(amg_mod._coarse_invert(jnp.asarray(a)), np.float64)
+        assert np.isfinite(inv).all(), f"NaN inverse at cond={cond:g}"
+        resid = np.abs(a @ inv - np.eye(nc)).max()
+        # f32-grade inverse (the apply contract): residual well under the ~1e-2
+        # level that would degrade the V-cycle; measured ~1e-5 on the f32 ladder.
+        assert resid < 1e-3, f"round-trip residual {resid:.2e} at cond={cond:g}"
+
     def test_rigid_modes_m_orthonormal(self, bar_setup):
         mesh, kept, quad, ops, amg = bar_setup
         r = np.asarray(amg.rigid, np.float64)
