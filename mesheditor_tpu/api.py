@@ -53,6 +53,7 @@ def solve_surface(
     reuse: SolveReuse = SolveReuse(),
     cancelled=None,
     progress=None,
+    verbose=None,
 ) -> ModalResult:
     """The full solve-input pipeline: simplify -> tetrahedralize -> FEM modal solve.
 
@@ -115,7 +116,7 @@ def solve_surface(
     with profile.scope("solve/mesh2modes"):
         return mesh2modes(
             tets, material, excite_positions, baked_scale, config, reuse, cancelled,
-            progress
+            progress, verbose=verbose
         )
 
 

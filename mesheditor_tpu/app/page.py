@@ -45,6 +45,11 @@ PAGE_HTML = """<!doctype html>
   <canvas id="spec" width="210" height="56"
           style="background:#0d0e11; border-radius:4px; margin-top:4px"></canvas>
   <div id="peaks" style="font-size:10px; color:#7d8494"></div>
+  <hr/>
+  <h3>Physics</h3>
+  <div id="physworld" style="font-size:11px; color:#9aa3b5"></div>
+  <div id="physbodies" style="font-size:11px; line-height:1.7"></div>
+  <button id="addbody">+ body on selected</button>
 </div>
 <div id="main">
   <div id="bar">
@@ -133,13 +138,51 @@ async function drawWaveform() {
   document.getElementById('peaks').textContent =
     'peaks: ' + w.peaks_hz.map(f => Math.round(f) + 'Hz').join(' ');
 }
+async function drawPhysics() {
+  const p = await (await fetch('/physics')).json();
+  const w = document.getElementById('physworld');
+  w.textContent = p.world.error ? ('world: ' + p.world.error)
+    : ('world: ' + p.world.bodies + ' bodies (' + p.world.dynamic + ' dynamic)'
+       + (p.world.joints && p.world.joints.length ? (', joints: ' + p.world.joints.join(', ')) : ''));
+  const host = document.getElementById('physbodies');
+  host.innerHTML = '';
+  for (const b of p.bodies) {
+    const d = document.createElement('div');
+    d.innerHTML = '<b>' + b.name + '</b> — ' + b.shape + ', ' + b.motion;
+    for (const f of b.fields) {
+      const row = document.createElement('div');
+      if (f.kind === 'bool') {
+        const cb = document.createElement('input');
+        cb.type = 'checkbox'; cb.checked = !!f.value;
+        cb.onchange = () => post({type:'physics_edit', entity:b.entity,
+                                  field:f.name, value:cb.checked}).then(drawPhysics);
+        row.append(cb, ' ' + f.name);
+      } else if (f.kind === 'float' || f.kind === 'int') {
+        const inp = document.createElement('input');
+        inp.type = 'number'; inp.value = f.value; inp.step = 'any';
+        inp.style.width = '70px';
+        if (f.limits) { inp.min = f.limits[0]; inp.max = f.limits[1]; }
+        inp.onchange = () => post({type:'physics_edit', entity:b.entity,
+                                   field:f.name, value:+inp.value}).then(drawPhysics);
+        row.append(f.name + ' ', inp);
+      } else {
+        row.textContent = f.name + ': ' + f.value;
+      }
+      d.appendChild(row);
+    }
+    host.appendChild(d);
+  }
+}
+document.getElementById('addbody').onclick =
+  () => post({type:'add_body'}).then(drawPhysics);
 setInterval(async () => {
   const r = await fetch('/state');
   const s = await r.json();
   if (s.version !== version || JSON.stringify(s.audio) !== JSON.stringify(state && state.audio)) {
-    state = s; applyState();
+    state = s; applyState(); drawPhysics();
   }
 }, 1500);
+drawPhysics();
 function pos(e) {
   const r = canvas.getBoundingClientRect();
   const sx = canvas.naturalWidth / r.width, sy = canvas.naturalHeight / r.height;

@@ -236,6 +236,28 @@ class ViewerApp:
         elif t == "frame":
             self._frame_camera()
             self.version += 1
+        elif t == "physics_edit":
+            # Physics inspector edits route through the SAME single mutation point
+            # as every other edit (SetField + FIELD_LIMITS clamp, logged/replayable)
+            # — the reference's PhysicsUi writes through its action dispatch too.
+            ent = int(ev.get("entity", -1))
+            fname = str(ev.get("field", ""))
+            value = ev.get("value")
+            if ent >= 0 and fname:
+                self.session.apply(A.SetField(
+                    entity=ent, component="RigidBodyComponent",
+                    field_name=fname, value=value))
+                self.session.process()
+                self.version += 1
+        elif t == "add_body":
+            # Attach a default rigid body to the selected entity (PhysicsUi's
+            # "add body" affordance).
+            if self.selected >= 0:
+                self.session.apply(A.SetField(
+                    entity=self.selected, component="RigidBodyComponent",
+                    field_name="shape_kind", value=str(ev.get("shape", "sphere"))))
+                self.session.process()
+                self.version += 1
         return self.state()
 
     def _click(self, x, y) -> dict:
@@ -421,6 +443,54 @@ class ViewerApp:
         }
         return st
 
+    def physics_state(self) -> dict:
+        """Physics inspector payload (reference: PhysicsUi.cpp bodies/shapes/joints
+        windows, 627 LoC of ImGui — here a JSON panel): every RigidBodyComponent
+        with its editable motion/shape fields (reflection + FIELD_LIMITS, the same
+        FieldEdit machinery as the audio panels) plus a built-world summary (shape
+        kinds, dynamic/static split, joint list from the live PhysicsWorld)."""
+        from ..scene.components import RigidBodyComponent
+        from ..scene.field_edit import editable_fields
+
+        r = self.registry
+        bodies = []
+        for e, rb in sorted(r.view(RigidBodyComponent)):
+            rows = []
+            for f in editable_fields(rb):
+                v = f["value"]
+                if f["kind"] == "bool":
+                    v = bool(v)
+                elif f["kind"].startswith("vec"):
+                    v = [float(c) for c in np.asarray(v).reshape(-1)]
+                elif f["kind"] in ("float", "int"):
+                    v = float(v)
+                rows.append({
+                    "name": f["name"], "kind": f["kind"], "value": v,
+                    "limits": list(f["limits"]) if f["limits"] else None,
+                })
+            bodies.append({
+                "entity": int(e),
+                "name": r.get(e, Name).value if r.has(e, Name) else f"#{e}",
+                "shape": rb.shape_kind,
+                "motion": ("dynamic" if rb.is_dynamic
+                           else "kinematic" if rb.is_kinematic else "static"),
+                "fields": rows,
+            })
+        world = {"bodies": 0, "dynamic": 0, "joints": []}
+        if bodies:
+            try:
+                from ..physics.scene_build import build_world
+
+                w, _handles = build_world(r)
+                world = {
+                    "bodies": len(w.bodies),
+                    "dynamic": sum(1 for b in w.bodies.values() if not b.static),
+                    "joints": [type(j).__name__ for j in getattr(w, "joints", [])],
+                }
+            except Exception as ex:  # inspector must never take the viewer down
+                world = {"error": str(ex)[:200]}
+        return {"bodies": bodies, "world": world}
+
     def waveform(self, points: int = 512, spectrum_bins: int = 256) -> dict:
         """Waveform envelope + magnitude spectrum of the last rendered strike for the
         browser panel (reference: ImPlot waveform/spectrum charts,
@@ -500,6 +570,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, json.dumps(app.state()).encode())
         elif self.path.startswith("/waveform"):
             self._send(200, json.dumps(app.waveform()).encode())
+        elif self.path.startswith("/physics"):
+            self._send(200, json.dumps(app.physics_state()).encode())
         elif self.path.startswith("/audio"):
             wav = app._last_wav or b""
             self._send(200 if wav else 404, wav, "audio/wav")

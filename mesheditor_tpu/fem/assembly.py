@@ -152,10 +152,24 @@ class ShiftedElementOperator:
     The PCG preconditioner applies the shifted pencil once per inner iteration; baking the
     shift into one (E, 30, 30) block array halves the gather/matmul/scatter traffic versus
     applying K and M separately (the shift-combination is linear in the element blocks:
-    A_e = K_e - sigma * rho*V_e * m_unit)."""
+    A_e = K_e - sigma * rho*V_e * m_unit).
+
+    `amat_pc` is the bf16-traffic variant for the inner-PCG hot loop: the apply is
+    HBM-bandwidth-bound (gather + element products + segment-sum move ~6x the panel
+    bytes; measured ~74 GB/s on the gather), so halving every byte roughly halves the
+    wall. Precision budget: the blocks round to bf16 (~4e-3 relative) and the
+    gathered panel rounds to bf16, while the element products ACCUMULATE in f32
+    (preferred_element_type) and the segment-sum runs on f32 rows — the result is a
+    fixed symmetric perturbation A~ = A + dA with ||dA|| ~ 1e-2 ||A||, i.e. a
+    slightly different but still SPD operator. The inner PCG solves A~ z = r; any
+    SPD A~ spectrally equivalent to A is a legitimate preconditioner — the
+    perturbation only nudges the outer convergence RATE (measured end-to-end in
+    bench_solve_knobs), never correctness, because every Gram/residual the
+    eigensolver TRUSTS is computed with the full-f32 kmmat_f32/kmat_split paths."""
 
     elem_nodes: jax.Array  # (E, 10) int32 — node-granularity incidence
     a_blocks: jax.Array  # (E, 30, 30) f32
+    a_blocks_bf16: jax.Array  # (E, 30, 30) bf16 — inner-PCG traffic variant
     a_fix: jax.Array  # (n_dofs,) f32 orphan-dof fixup, see ElementOperators.k_fix
     n_dofs: int
 
@@ -163,10 +177,16 @@ class ShiftedElementOperator:
         y = _apply_node(self.elem_nodes, self.a_blocks, x, self.n_dofs)
         return y + (self.a_fix[:, None] * x if x.ndim > 1 else self.a_fix * x)
 
+    def amat_pc(self, x: jax.Array) -> jax.Array:
+        """A~ @ x with bf16 gather/product traffic and f32 accumulation (see class
+        docstring). f32 in, f32 out."""
+        y = _apply_node_bf16(self.elem_nodes, self.a_blocks_bf16, x, self.n_dofs)
+        return y + (self.a_fix[:, None] * x if x.ndim > 1 else self.a_fix * x)
+
 
 jax.tree_util.register_dataclass(
     ShiftedElementOperator,
-    data_fields=("elem_nodes", "a_blocks", "a_fix"),
+    data_fields=("elem_nodes", "a_blocks", "a_blocks_bf16", "a_fix"),
     meta_fields=("n_dofs",),
 )
 
@@ -176,16 +196,16 @@ def _bake_shifted_blocks(k_blocks_f32, rho_vol_f32, m_unit, k_fix, m_fix, sigma)
     m32 = m_unit.astype(jnp.float32)
     a = k_blocks_f32 - sigma * (rho_vol_f32[:, None, None] * m32[None])
     fix = (k_fix - sigma * m_fix).astype(jnp.float32)
-    return a, fix
+    return a, a.astype(jnp.bfloat16), fix
 
 
 def bake_shifted_f32(ops: ElementOperators, sigma: float) -> ShiftedElementOperator:
     """One fused f32 operator for (K - sigma*M), built on device."""
-    a, fix = _bake_shifted_blocks(
+    a, a_bf, fix = _bake_shifted_blocks(
         ops.k_blocks_f32, ops.rho_vol_f32, ops.m_unit, ops.k_fix, ops.m_fix,
         jnp.float32(sigma),
     )
-    return ShiftedElementOperator(ops.elem_nodes, a, fix, ops.n_dofs)
+    return ShiftedElementOperator(ops.elem_nodes, a, a_bf, fix, ops.n_dofs)
 
 
 # Elements per matvec chunk: f64 dots on TPU are emulated by algebraic expansion, whose
@@ -239,6 +259,31 @@ def _apply_node(elem_nodes, blocks, x, n_dofs):
     x3 = x.reshape(n_nodes, 3 * p)
     xe = x3[elem_nodes].reshape(e, 30, p)
     ye = jnp.einsum("eij,ejp->eip", blocks, xe)
+    y3 = jax.ops.segment_sum(
+        ye.reshape(e * 10, 3 * p), elem_nodes.reshape(-1), num_segments=n_nodes
+    )
+    y = y3.reshape(n_dofs, p)
+    return y[:, 0] if squeeze else y
+
+
+def _apply_node_bf16(elem_nodes, blocks_bf16, x, n_dofs):
+    """y = A~ @ x with bf16 gather/matmul traffic, f32 accumulation and scatter.
+
+    The gathered panel is cast to bf16 BEFORE the gather, halving the dominant
+    random-row traffic; the (E,30,30)bf16 x (E,30,p)bf16 products accumulate in f32
+    on the MXU (its native mode), and the (E*10, 3p) f32 product rows segment-sum in
+    f32 so the ~6.6-term per-dof accumulation adds no further rounding. See
+    ShiftedElementOperator.amat_pc for the precision budget."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    p = x.shape[1]
+    n_nodes = n_dofs // 3
+    e = elem_nodes.shape[0]
+    x3 = x.astype(jnp.bfloat16).reshape(n_nodes, 3 * p)
+    xe = x3[elem_nodes].reshape(e, 30, p)
+    ye = jnp.einsum("eij,ejp->eip", blocks_bf16, xe,
+                    preferred_element_type=jnp.float32)
     y3 = jax.ops.segment_sum(
         ye.reshape(e * 10, 3 * p), elem_nodes.reshape(-1), num_segments=n_nodes
     )

@@ -48,6 +48,13 @@ FIELD_LIMITS: dict[tuple[str, str], tuple[float, float]] = {
     ("ModalGainComponent", "value"): (0.0, 10.0),
     ("ModalTuningComponent", "fundamental_freq"): (0.0, 20_000.0),
     ("ModalTuningComponent", "t60_scale"): (0.01, 100.0),
+    # Physics inspector limits (reference: PhysicsUi body/motion editors,
+    # src/physics/PhysicsUi.cpp — mass/velocity fields clamped at the UI boundary).
+    ("RigidBodyComponent", "mass"): (0.0, 1e5),
+    ("RigidBodyComponent", "gravity_factor"): (-10.0, 10.0),
+    ("RigidBodyComponent", "radius"): (1e-4, 1e3),
+    ("RigidBodyComponent", "half_height"): (1e-4, 1e3),
+    ("RigidBodyComponent", "plane_offset"): (-1e4, 1e4),
 }
 
 

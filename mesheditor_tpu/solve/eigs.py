@@ -396,7 +396,10 @@ def _iter_stage(ops, shifted, precond, s, ks, ms, a, b, c, rigid, m_rigid,
         + 1e-300
     )
 
-    w = _pcg_block(shifted.amat, precond, r[:, lock:], inner_iters)
+    # amat_pc: the bf16-traffic operator — the inner solve is a preconditioner, so a
+    # fixed SPD perturbation of A at bf16 grade only nudges convergence rate while
+    # halving the bytes of the wall-clock-dominant applies (assembly.amat_pc).
+    w = _pcg_block(shifted.amat_pc, precond, r[:, lock:], inner_iters)
     # Rigid deflation: the rigid-body modes are solved EXACTLY outside this loop
     # (they are known in closed form; lobpcg_pencil prepends them with eigenvalue 0).
     # Near-zero eigenvalues have no relative scale, so inside an f32-carried basis
@@ -451,7 +454,7 @@ def smooth_panel(shifted, precond, z):
     from .amg import AmgPrecond
 
     if isinstance(precond, AmgPrecond):
-        return precond.apply(shifted.amat, z)
+        return precond.apply(shifted.amat_pc, z)
     inv_diag = precond
     return inv_diag[:, None] * z
 

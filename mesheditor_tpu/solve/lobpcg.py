@@ -293,7 +293,7 @@ def _polish_stage(ops, shifted, s, ks, ms, c, theta, inv_diag32, inner_iters):
     r = kx - mx * theta[None, :]
     res_norm = jnp.sqrt(_col_dots(r, r))
 
-    w32 = _pcg_block(shifted.amat, inv_diag32, r.astype(jnp.float32), inner_iters)
+    w32 = _pcg_block(shifted.amat_pc, inv_diag32, r.astype(jnp.float32), inner_iters)
     w = w32.astype(s.dtype)
     mw = ops.mmat(w)
     pre2 = _col_dots(w, mw)

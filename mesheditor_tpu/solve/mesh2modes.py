@@ -96,6 +96,7 @@ def mesh2modes(
     cancelled: Optional[Callable[[], bool]] = None,
     progress: Optional[Callable[[float], None]] = None,
     mesh=None,
+    verbose: Optional[bool] = None,
 ) -> ModalResult:
     """FEM modal analysis over quadratic (10-node) tetrahedral elements.
 
@@ -107,7 +108,14 @@ def mesh2modes(
     element matvec and psums the scattered partials/Grams over ICI (the reference's
     Rayleigh-Ritz reduction points, src/audio/mesh2modes.cpp:379-398). Results are
     shard-count-invariant to reduction roundoff (tested in tests/test_parallel.py).
+
+    `verbose` (default: the MESHEDITOR_TPU_VERBOSE env var) prints the per-stage
+    wall-time report on completion, as the reference does on every solve.
     """
+    import os as _os
+
+    if verbose is None:
+        verbose = bool(_os.environ.get("MESHEDITOR_TPU_VERBOSE"))
     profile = SolveProfile()
     config = config.clamp()  # FieldLimits-style bounds (SolverConfig._LIMITS)
     baked_scale = np.asarray(baked_scale, dtype=np.float64).reshape(3)
@@ -207,6 +215,11 @@ def mesh2modes(
     profile.op_applications = eig.op_applications
     profile.restarts = eig.iterations
     if eig.eigenvalues.size == 0:
+        if verbose:
+            import sys as _sys
+
+            print(f"[mesh2modes] {profile.report()} (no modes)",
+                  file=_sys.stderr, flush=True)
         return ModalResult(_empty_modes(), mass_props, profile, ModalEigenSummary(), None, remap)
 
     t0 = time.perf_counter()
@@ -228,6 +241,10 @@ def mesh2modes(
     # Full-basis download only when the caller keeps it (warm starts), and in f32 —
     # halves the tunnel bytes; a warm seed only needs the subspace, not f64 precision.
     basis = np.asarray(ev.astype(jnp.float32)) if reuse.keep_basis else None
+    if verbose:
+        import sys as _sys
+
+        print(f"[mesh2modes] {profile.report()}", file=_sys.stderr, flush=True)
     return ModalResult(modes, mass_props, profile, summary, basis, remap)
 
 

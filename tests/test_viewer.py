@@ -154,3 +154,51 @@ class TestAudioStatePanel:
         assert job["done"] and (job.get("modes", 0) > 0 or "error" in job)
         st = app.state()["audio"]
         assert st["solves"] and st["solves"][0]["done"]
+
+
+class TestPhysicsInspector:
+    """VERDICT r4 #8: the PhysicsUi analog — bodies listed with editable
+    motion/shape fields routed through the action system (FieldEdit limits)."""
+
+    def test_add_body_and_list(self, tmp_path):
+        app = make_app(tmp_path)
+        st = app.handle({"type": "add", "kind": "cuboid"})
+        ent = st["objects"][0]["entity"]
+        app.handle({"type": "click_entity", "entity": ent})
+        app.handle({"type": "add_body", "shape": "box"})
+        p = app.physics_state()
+        assert len(p["bodies"]) == 1
+        b = p["bodies"][0]
+        assert b["entity"] == ent and b["shape"] == "box" and b["motion"] == "static"
+        names = {f["name"] for f in b["fields"]}
+        assert {"mass", "is_dynamic", "gravity_factor", "shape_kind"} <= names
+        # mass carries its FIELD_LIMITS range for the editor row
+        mass_row = next(f for f in b["fields"] if f["name"] == "mass")
+        assert mass_row["limits"] == [0.0, 1e5]
+        assert p["world"]["bodies"] == 1 and p["world"]["dynamic"] == 0
+
+    def test_edit_clamps_and_replays(self, tmp_path):
+        from mesheditor_tpu.scene.components import RigidBodyComponent
+
+        app = make_app(tmp_path)
+        st = app.handle({"type": "add", "kind": "cuboid"})
+        ent = st["objects"][0]["entity"]
+        app.handle({"type": "add_body", "shape": "sphere", "entity": ent})
+        app.handle({"type": "click_entity", "entity": ent})
+        app.handle({"type": "add_body", "shape": "sphere"})
+        app.handle({"type": "physics_edit", "entity": ent,
+                    "field": "is_dynamic", "value": True})
+        app.handle({"type": "physics_edit", "entity": ent,
+                    "field": "mass", "value": 2.5})
+        # Clamped at the FIELD_LIMITS boundary, like every SetField.
+        app.handle({"type": "physics_edit", "entity": ent,
+                    "field": "gravity_factor", "value": 99.0})
+        rb = app.registry.get(ent, RigidBodyComponent)
+        assert rb.is_dynamic is True and rb.mass == 2.5
+        assert rb.gravity_factor == 10.0  # clamped
+        p = app.physics_state()
+        assert p["bodies"][0]["motion"] == "dynamic"
+        assert p["world"]["dynamic"] == 1
+        # The edits went through the action log: replay reproduces them byte-exact.
+        v = app.verify()
+        assert v["byte_exact"], v
