@@ -152,6 +152,41 @@ def run(report_json=True):
     )
     note(f"golden render rms {golden_rms:.4e} within band {rms_band}")
     audio_rms = float(np.sqrt((audio.astype(np.float64) ** 2).mean()))
+
+    # Production (CDT) pencil case — VERDICT r4 #2: the headline box is a
+    # structured mesh; the product emits conforming-Delaunay meshes whose
+    # irregular element sizes stress the preconditioner differently. Solve the
+    # quickstart torus (CDT, default settings) warm and report it alongside.
+    cdt = {}
+    try:
+        from mesheditor_tpu.mesh import torus_surface
+        from mesheditor_tpu.mesh.cdt import generate_tets_delaunay, native_available
+
+        if native_available():
+            pts, tris = torus_surface(0.06, 0.025)
+            h = float(np.max(pts.max(0) - pts.min(0))) / 24
+            tmesh = generate_tets_delaunay(pts, tris, lattice_h=h)
+            cfg_cdt = SolverConfig(num_modes=30, num_fem_modes=45)  # quickstart shape
+            ex_cdt = tmesh.points[:: max(tmesh.points.shape[0] // 10, 1)][:10]
+            note("cdt warmup solve (compiles)...")
+            rw = mesh2modes(tmesh, CERAMIC.properties, ex_cdt, config=cfg_cdt)
+            assert rw.modes.num_modes > 0, "cdt solve failed"
+            note(f"cdt warmup ok: {rw.modes.num_modes} modes, "
+                 f"{rw.profile.restarts} iters")
+            t0 = time.perf_counter()
+            rc = mesh2modes(tmesh, CERAMIC.properties, ex_cdt, config=cfg_cdt)
+            cdt_s = time.perf_counter() - t0
+            note(f"cdt timed solve {cdt_s:.2f}s")
+            cdt = {
+                "cdt_solve_s": round(cdt_s, 3),
+                "cdt_dofs": rc.profile.dofs,
+                "cdt_iterations": rc.profile.restarts,
+                "cdt_modes": int(rc.modes.num_modes),
+                "cdt_f1_hz": float(rc.modes.freqs[0]) if rc.modes.num_modes else 0.0,
+            }
+    except Exception as ex:  # the CDT case must never take down the headline
+        cdt = {"cdt_error": str(ex)[:200]}
+
     detail = {
         "solve_s": round(solve_s, 3),
         "render_s": round(render_s, 3),
@@ -163,6 +198,7 @@ def run(report_json=True):
         "golden_render_rms": golden_rms,
         "golden_rms_band": list(rms_band),
         "pallas_parity": pallas_parity,
+        **cdt,
     }
     if report_json:
         import sys

@@ -88,7 +88,13 @@ class ElementOperators:
     # audible window, instead of leaving a singular 0/0 pencil block.
     k_fix: jax.Array
     m_fix: jax.Array
-    n_dofs: int
+    # Macro-element clustering (fem/cluster.py) for the preconditioner's shifted
+    # apply: None on paths that don't bake it (e.g. the element-sharded multi-chip
+    # operators, whose GSPMD partition is per-element).
+    macro_nodes: object = None  # (M, cap) int32, pad 0
+    elem_macro: object = None  # (E,) int32
+    elem_slot: object = None  # (E, 10) int32
+    n_dofs: int = 0
 
     def _fix(self, y, x, fix):
         return y + (fix[:, None] * x if x.ndim > 1 else fix * x)
@@ -139,7 +145,8 @@ jax.tree_util.register_dataclass(
     ElementOperators,
     data_fields=(
         "elem_dofs", "elem_nodes", "k_blocks", "k_blocks_f32", "k_lo", "rho_vol",
-        "rho_vol_f32", "m_unit", "k_fix", "m_fix",
+        "rho_vol_f32", "m_unit", "k_fix", "m_fix", "macro_nodes", "elem_macro",
+        "elem_slot",
     ),
     meta_fields=("n_dofs",),
 )
@@ -171,7 +178,12 @@ class ShiftedElementOperator:
     a_blocks: jax.Array  # (E, 30, 30) f32
     a_blocks_bf16: jax.Array  # (E, 30, 30) bf16 — inner-PCG traffic variant
     a_fix: jax.Array  # (n_dofs,) f32 orphan-dof fixup, see ElementOperators.k_fix
-    n_dofs: int
+    # Macro-element form (fem/cluster.py): ~2.5x fewer gather/scatter rows and
+    # MXU-filling (3*cap, 3*cap) blocks. None when the operator wasn't baked with
+    # clustering (sharded paths); amat_pc then falls back to the element form.
+    macro_nodes: object = None  # (M, cap) int32, pad 0
+    macro_blocks_bf16: object = None  # (M, 3*cap, 3*cap) bf16
+    n_dofs: int = 0
 
     def amat(self, x: jax.Array) -> jax.Array:
         y = _apply_node(self.elem_nodes, self.a_blocks, x, self.n_dofs)
@@ -179,14 +191,19 @@ class ShiftedElementOperator:
 
     def amat_pc(self, x: jax.Array) -> jax.Array:
         """A~ @ x with bf16 gather/product traffic and f32 accumulation (see class
-        docstring). f32 in, f32 out."""
-        y = _apply_node_bf16(self.elem_nodes, self.a_blocks_bf16, x, self.n_dofs)
+        docstring); macro-element form when baked. f32 in, f32 out."""
+        if self.macro_blocks_bf16 is not None:
+            y = _apply_node_bf16(self.macro_nodes, self.macro_blocks_bf16, x,
+                                 self.n_dofs)
+        else:
+            y = _apply_node_bf16(self.elem_nodes, self.a_blocks_bf16, x, self.n_dofs)
         return y + (self.a_fix[:, None] * x if x.ndim > 1 else self.a_fix * x)
 
 
 jax.tree_util.register_dataclass(
     ShiftedElementOperator,
-    data_fields=("elem_nodes", "a_blocks", "a_blocks_bf16", "a_fix"),
+    data_fields=("elem_nodes", "a_blocks", "a_blocks_bf16", "a_fix", "macro_nodes",
+                 "macro_blocks_bf16"),
     meta_fields=("n_dofs",),
 )
 
@@ -199,13 +216,40 @@ def _bake_shifted_blocks(k_blocks_f32, rho_vol_f32, m_unit, k_fix, m_fix, sigma)
     return a, a.astype(jnp.bfloat16), fix
 
 
+@partial(jax.jit, static_argnames=("n_macro", "cap"))
+def _bake_macro_blocks(a_blocks, elem_macro, elem_slot, n_macro: int, cap: int):
+    """Aggregate element blocks into (M, 3cap, 3cap) macro blocks on device.
+
+    Scatter at NODE-PAIR granularity — (E*100, 9) rows of per-pair (3,3) payloads
+    into M*cap^2 segments — the same row-rate discipline as the apply itself
+    (an entry-granular scatter would move 9x the rows for the same bytes)."""
+    e = a_blocks.shape[0]
+    pair = a_blocks.reshape(e, 10, 3, 10, 3).transpose(0, 1, 3, 2, 4)  # (E,10,10,3,3)
+    ids = (elem_macro[:, None, None].astype(jnp.int32) * (cap * cap)
+           + elem_slot[:, :, None] * cap + elem_slot[:, None, :])  # (E,10,10)
+    acc = jax.ops.segment_sum(
+        pair.reshape(e * 100, 9), ids.reshape(-1), num_segments=n_macro * cap * cap
+    )
+    mb = acc.reshape(n_macro, cap, cap, 3, 3).transpose(0, 1, 3, 2, 4)
+    return mb.reshape(n_macro, 3 * cap, 3 * cap).astype(jnp.bfloat16)
+
+
 def bake_shifted_f32(ops: ElementOperators, sigma: float) -> ShiftedElementOperator:
-    """One fused f32 operator for (K - sigma*M), built on device."""
+    """One fused f32 operator for (K - sigma*M), built on device (macro-element
+    form included when the operators carry clustering — fem/cluster.py)."""
     a, a_bf, fix = _bake_shifted_blocks(
         ops.k_blocks_f32, ops.rho_vol_f32, ops.m_unit, ops.k_fix, ops.m_fix,
         jnp.float32(sigma),
     )
-    return ShiftedElementOperator(ops.elem_nodes, a, a_bf, fix, ops.n_dofs)
+    macro_nodes = None
+    macro_bf = None
+    if ops.macro_nodes is not None:
+        macro_nodes = ops.macro_nodes
+        n_macro, cap = macro_nodes.shape
+        macro_bf = _bake_macro_blocks(a, ops.elem_macro, ops.elem_slot,
+                                      int(n_macro), int(cap))
+    return ShiftedElementOperator(ops.elem_nodes, a, a_bf, fix, macro_nodes,
+                                  macro_bf, ops.n_dofs)
 
 
 # Elements per matvec chunk: f64 dots on TPU are emulated by algebraic expansion, whose
@@ -266,26 +310,28 @@ def _apply_node(elem_nodes, blocks, x, n_dofs):
     return y[:, 0] if squeeze else y
 
 
-def _apply_node_bf16(elem_nodes, blocks_bf16, x, n_dofs):
+def _apply_node_bf16(group_nodes, blocks_bf16, x, n_dofs):
     """y = A~ @ x with bf16 gather/matmul traffic, f32 accumulation and scatter.
 
-    The gathered panel is cast to bf16 BEFORE the gather, halving the dominant
-    random-row traffic; the (E,30,30)bf16 x (E,30,p)bf16 products accumulate in f32
-    on the MXU (its native mode), and the (E*10, 3p) f32 product rows segment-sum in
-    f32 so the ~6.6-term per-dof accumulation adds no further rounding. See
+    Works for any node-group granularity: `group_nodes` (G, K) with blocks
+    (G, 3K, 3K) — K=10 for plain elements, K=cap for macro-elements
+    (fem/cluster.py). The gathered panel is cast to bf16 BEFORE the gather,
+    halving the dominant random-row traffic; the bf16 products accumulate in f32
+    on the MXU (its native mode), and the (G*K, 3p) f32 product rows segment-sum
+    in f32 so the per-dof accumulation adds no further rounding. See
     ShiftedElementOperator.amat_pc for the precision budget."""
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
     p = x.shape[1]
     n_nodes = n_dofs // 3
-    e = elem_nodes.shape[0]
+    g, k = group_nodes.shape
     x3 = x.astype(jnp.bfloat16).reshape(n_nodes, 3 * p)
-    xe = x3[elem_nodes].reshape(e, 30, p)
+    xe = x3[group_nodes].reshape(g, 3 * k, p)
     ye = jnp.einsum("eij,ejp->eip", blocks_bf16, xe,
                     preferred_element_type=jnp.float32)
     y3 = jax.ops.segment_sum(
-        ye.reshape(e * 10, 3 * p), elem_nodes.reshape(-1), num_segments=n_nodes
+        ye.reshape(g * k, 3 * p), group_nodes.reshape(-1), num_segments=n_nodes
     )
     y = y3.reshape(n_dofs, p)
     return y[:, 0] if squeeze else y
@@ -520,6 +566,12 @@ def assemble_element_matrices(
     k_fix = jnp.asarray(np.where(touched, 0.0, 100.0 * lam_est * m_scale), dtype)
     m_fix = jnp.asarray(np.where(touched, 0.0, m_scale), dtype)
     k_hi = k_blocks.astype(jnp.float32)
+    # Macro-element clustering for the preconditioner apply (fem/cluster.py): a
+    # 50 ms host pass that buys ~2.5x fewer gather/scatter rows per inner-PCG step.
+    from .cluster import cluster_tets
+
+    macro_nodes_np, elem_macro_np, elem_slot_np = cluster_tets(
+        np.asarray(quad.element_nodes))
     return ElementOperators(
         elem_dofs=elem_dofs,
         elem_nodes=nodes,
@@ -531,6 +583,9 @@ def assemble_element_matrices(
         m_unit=m_unit.astype(dtype),
         k_fix=k_fix,
         m_fix=m_fix,
+        macro_nodes=jnp.asarray(macro_nodes_np),
+        elem_macro=jnp.asarray(elem_macro_np),
+        elem_slot=jnp.asarray(elem_slot_np),
         n_dofs=n_dofs,
     )
 

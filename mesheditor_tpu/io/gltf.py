@@ -842,8 +842,12 @@ def _decode_ktx2(data: bytes) -> np.ndarray:
     (vk_format, type_size, w, h, depth, layers, faces, levels, scheme) = struct.unpack(
         "<IIIIIIIII", data[12:48])
     if vk_format not in _KTX2_FORMATS:
-        raise ValueError(f"KTX2 vkFormat {vk_format} unsupported "
-                         "(only uncompressed RGB8/RGBA8; basisu needs a transcoder)")
+        raise ValueError(
+            f"KTX2 vkFormat {vk_format} unsupported: this build decodes uncompressed "
+            "RGB8/RGBA8 KTX2 (with zstd/zlib supercompression); basis-compressed "
+            "ETC1S/UASTC payloads need the basisu transcoder, deliberately absent "
+            "here — see ARCHITECTURE.md 'Known gaps' for the reason and the "
+            "extension point (this function)")
     # Level index: levels * 3 u64 entries at offset 80.
     off, length, uncomp = struct.unpack("<QQQ", data[80:104])  # level 0
     payload = data[off:off + length]

@@ -98,21 +98,26 @@ class AmgPrecond:
         CAST of the inverse erases the elastic correction entirely — measured as the
         outer iteration collapsing to ~0.95/iteration (Jacobi-grade) on a CDT
         icosphere. With the lift, every entry of ac_inv lives within the elastic
-        dynamic range and f32 carries it at eps32-relative accuracy. The f64 apply
-        it replaces cost ~60-100 ms per inner PCG step on a v5e (emulated f64
-        (nc, nc) @ (nc, p) every one of the 16 inner iterations) — the single
-        largest term of the outer iteration."""
+        dynamic range and f32 carries it at eps32-relative accuracy.
+
+        Restriction/prolongation run at NODE granularity: one segment-sum row (and
+        one gathered row) of width 6p per NODE, not per coarse dof — the TPU
+        gather/scatter rate is per-ROW (~24M rows/s measured on a v5e, byte-count
+        nearly irrelevant), so the former (nn*6, p) layout paid 6x the rows for the
+        same bytes and made the coarse correction as expensive as the fine apply
+        (profile_iter.py, round 5). The (nn, 6, p) <-> (nn, 6p) hops are pure
+        reshapes; the coarse vector's (nagg, 6p) <-> (nc, p) hop likewise."""
         nn = self.w.shape[0]
         p = r.shape[1]
         rd = r - self.m_rigid @ (self.rigid.T @ r)
         rn = jnp.einsum("nck,ncp->nkp", self.w, rd.reshape(nn, 3, p))  # (nn, 6, p)
+        agg_node = self.agg6[:, 0] // 6  # (nn,) aggregate of each node
         rc = jax.ops.segment_sum(
-            rn.reshape(nn * 6, p),
-            self.agg6.reshape(-1),
-            num_segments=self.nagg * 6,
-        )
+            rn.reshape(nn, 6 * p), agg_node, num_segments=self.nagg,
+        ).reshape(self.nagg * 6, p)
         xc = self.ac_inv @ rc
-        e = jnp.einsum("nck,nkp->ncp", self.w, xc[self.agg6]).reshape(-1, p)
+        xn = xc.reshape(self.nagg, 6 * p)[agg_node].reshape(nn, 6, p)
+        e = jnp.einsum("nck,nkp->ncp", self.w, xn).reshape(-1, p)
         return e - self.rigid @ (self.m_rigid.T @ e)
 
     def apply(self, apply_a, r):
@@ -594,13 +599,13 @@ def _rigid_orthonormalize(r, mr, linv_t):
 @partial(jax.jit, static_argnames=("nagg",))
 @_precise
 def _restrict(w, agg6, nagg: int, x):
-    """P^T x — coarse-space coordinates of a fine (n_dofs, p) panel (the same
-    restriction the apply uses)."""
+    """P^T x — coarse-space coordinates of a fine (n_dofs, p) panel. Node-granular
+    rows (see AmgPrecond._coarse_correct)."""
     nn = w.shape[0]
     p = x.shape[1]
     xn = jnp.einsum("nck,ncp->nkp", w, x.reshape(nn, 3, p))
-    return jax.ops.segment_sum(xn.reshape(nn * 6, p), agg6.reshape(-1),
-                               num_segments=nagg * 6)
+    return jax.ops.segment_sum(xn.reshape(nn, 6 * p), agg6[:, 0] // 6,
+                               num_segments=nagg).reshape(nagg * 6, p)
 
 
 @partial(jax.jit, static_argnames=("seed_dim",))
@@ -795,15 +800,18 @@ def _coarse_inverse_subspace(ac_inv, mc, key, q: int, iters: int, p_want: int):
 @_precise
 def _prolongate_deflated(w, agg6, rigid, m_rigid, yc):
     """P yc, M-deflated against the global rigid modes (which the solver seeds
-    exactly; the coarse seeds must not duplicate them)."""
+    exactly; the coarse seeds must not duplicate them). Node-granular gather rows
+    (see AmgPrecond._coarse_correct)."""
     nn = w.shape[0]
     p = yc.shape[1]
-    e = jnp.einsum("nck,nkp->ncp", w, yc[agg6]).reshape(-1, p)
+    nagg = yc.shape[0] // 6
+    yn = yc.reshape(nagg, 6 * p)[agg6[:, 0] // 6].reshape(nn, 6, p)
+    e = jnp.einsum("nck,nkp->ncp", w, yn).reshape(-1, p)
     return e - rigid @ (m_rigid.T @ e)
 
 
 def spectral_seed(amg: AmgPrecond, p: int, *, seed: int = 20260710,
-                  guard: int = 128, iters: int = 12):
+                  guard: int = 128, iters: int = 20):
     """(n_dofs, p) f32 starting panel for the outer eigensolver: prolongated coarse
     Ritz vectors, rigid-deflated. None when the coarse space is too small to supply
     p useful columns (the caller falls back to a random start)."""

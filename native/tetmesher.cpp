@@ -439,7 +439,13 @@ int tetmesh_delaunay(
     // the source (the biggest single quality lever for lattice-seeded Delaunay).
     std::vector<double> all(points, points + 3 * npoints);
     const double jy = 0.12345e-4 * h, jz = 0.54321e-4 * h;  // ray-degeneracy nudge
-    const double clearance = quality_bound > 0 ? 0.45 * h : 0.0;
+    // Clearance runs in EVERY mode (round 5; it was quality-only before): lattice
+    // points hugging the skin both seed sliver tets AND block constraint faces,
+    // and on irregular (scan/iso-surface-class) skins the blocked faces drove the
+    // recovery's bisection cascade to ~85k Steiner points on a 4k-vertex blob.
+    // Thin walls stay seeded: intervals the clearance starves fall through to the
+    // midpoint fallback below.
+    const double clearance = 0.45 * h;
     auto has_clearance = [&](double x, double y, double z) {
         if (clearance <= 0) return true;
         static const double D[14][3] = {
@@ -574,7 +580,11 @@ int tetmesh_delaunay(
                                 placed = has_clearance(p.x, p.y, p.z);
                             }
                         }
-                        if (!placed && (x1 - x0) < h && (x1 - x0) > 1e-9 * diag &&
+                        // Starved-interval fallback: thin walls (interval < h) AND
+                        // intervals whose every grid point failed the clearance gate
+                        // (bumpy skins reject laterally) get a mid-interval seed, so
+                        // no inside run of the line goes entirely unseeded.
+                        if (!placed && (x1 - x0) > 1e-9 * diag &&
                             thin_seeds < 500000) {
                             const V3 mid = world(0.5 * (x0 + x1));
                             const double guard = 0.35 * std::min(h, x1 - x0);
