@@ -46,6 +46,9 @@ PAGE_HTML = """<!doctype html>
           style="background:#0d0e11; border-radius:4px; margin-top:4px"></canvas>
   <div id="peaks" style="font-size:10px; color:#7d8494"></div>
   <hr/>
+  <h3>Inspector</h3>
+  <div id="inspector" style="font-size:11px; line-height:1.7"></div>
+  <hr/>
   <h3>Physics</h3>
   <div id="physworld" style="font-size:11px; color:#9aa3b5"></div>
   <div id="physbodies" style="font-size:11px; line-height:1.7"></div>
@@ -138,6 +141,38 @@ async function drawWaveform() {
   document.getElementById('peaks').textContent =
     'peaks: ' + w.peaks_hz.map(f => Math.round(f) + 'Hz').join(' ');
 }
+async function drawInspector() {
+  const host = document.getElementById('inspector');
+  if (!state || state.selected < 0) { host.textContent = '(select an object)'; return; }
+  const p = await (await fetch('/inspect?entity=' + state.selected)).json();
+  host.innerHTML = '';
+  for (const [cname, rows] of Object.entries(p.components)) {
+    const d = document.createElement('div');
+    d.innerHTML = '<b>' + cname + '</b>';
+    for (const f of rows) {
+      const row = document.createElement('div');
+      if (f.kind === 'bool') {
+        const cb = document.createElement('input');
+        cb.type = 'checkbox'; cb.checked = !!f.value;
+        cb.onchange = () => post({type:'field_edit', entity:p.entity,
+          component:cname, field:f.name, value:cb.checked}).then(drawInspector);
+        row.append(cb, ' ' + f.name);
+      } else if (f.kind === 'float' || f.kind === 'int') {
+        const inp = document.createElement('input');
+        inp.type = 'number'; inp.value = f.value; inp.step = 'any';
+        inp.style.width = '70px';
+        if (f.limits) { inp.min = f.limits[0]; inp.max = f.limits[1]; }
+        inp.onchange = () => post({type:'field_edit', entity:p.entity,
+          component:cname, field:f.name, value:+inp.value}).then(drawInspector);
+        row.append(f.name + ' ', inp);
+      } else {
+        row.textContent = f.name + ': ' + JSON.stringify(f.value);
+      }
+      d.appendChild(row);
+    }
+    host.appendChild(d);
+  }
+}
 async function drawPhysics() {
   const p = await (await fetch('/physics')).json();
   const w = document.getElementById('physworld');
@@ -179,10 +214,11 @@ setInterval(async () => {
   const r = await fetch('/state');
   const s = await r.json();
   if (s.version !== version || JSON.stringify(s.audio) !== JSON.stringify(state && state.audio)) {
-    state = s; applyState(); drawPhysics();
+    state = s; applyState(); drawPhysics(); drawInspector();
   }
 }, 1500);
 drawPhysics();
+drawInspector();
 function pos(e) {
   const r = canvas.getBoundingClientRect();
   const sx = canvas.naturalWidth / r.width, sy = canvas.naturalHeight / r.height;

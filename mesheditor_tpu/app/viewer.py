@@ -236,6 +236,18 @@ class ViewerApp:
         elif t == "frame":
             self._frame_camera()
             self.version += 1
+        elif t == "field_edit":
+            # Generic inspector edit: any registered component, through the same
+            # single mutation point (SetField + FIELD_LIMITS clamp, replayable).
+            ent = int(ev.get("entity", -1))
+            comp = str(ev.get("component", ""))
+            fname = str(ev.get("field", ""))
+            if ent >= 0 and comp and fname:
+                self.session.apply(A.SetField(
+                    entity=ent, component=comp, field_name=fname,
+                    value=ev.get("value")))
+                self.session.process()
+                self.version += 1
         elif t == "physics_edit":
             # Physics inspector edits route through the SAME single mutation point
             # as every other edit (SetField + FIELD_LIMITS clamp, logged/replayable)
@@ -443,6 +455,31 @@ class ViewerApp:
         }
         return st
 
+    def inspect(self, entity: int) -> dict:
+        """Generic inspector payload for one entity: every registered component
+        with its editable fields (reflection + FIELD_LIMITS — the reference's
+        per-domain inspector windows, src/ui/FieldEdit.h, generated rather than
+        hand-written). Edits route back through the `field_edit` event."""
+        from ..scene.field_edit import describe_entity
+
+        if not self.registry.valid(entity):
+            return {"entity": entity, "components": {}}
+        comps = {}
+        for cname, rows in describe_entity(self.registry, entity).items():
+            out_rows = []
+            for f in rows:
+                v = f["value"]
+                if f["kind"] == "bool":
+                    v = bool(v)
+                elif f["kind"].startswith("vec"):
+                    v = [float(c) for c in np.asarray(v).reshape(-1)]
+                elif f["kind"] in ("float", "int"):
+                    v = float(v)
+                out_rows.append({"name": f["name"], "kind": f["kind"], "value": v,
+                                 "limits": list(f["limits"]) if f["limits"] else None})
+            comps[cname] = out_rows
+        return {"entity": int(entity), "components": comps}
+
     def physics_state(self) -> dict:
         """Physics inspector payload (reference: PhysicsUi.cpp bodies/shapes/joints
         windows, 627 LoC of ImGui — here a JSON panel): every RigidBodyComponent
@@ -572,6 +609,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, json.dumps(app.waveform()).encode())
         elif self.path.startswith("/physics"):
             self._send(200, json.dumps(app.physics_state()).encode())
+        elif self.path.startswith("/inspect"):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            ent = int(q.get("entity", ["-1"])[0])
+            self._send(200, json.dumps(app.inspect(ent)).encode())
         elif self.path.startswith("/audio"):
             wav = app._last_wav or b""
             self._send(200 if wav else 404, wav, "audio/wav")

@@ -94,6 +94,7 @@ class ElementOperators:
     macro_nodes: object = None  # (M, cap) int32, pad 0
     elem_macro: object = None  # (E,) int32
     elem_slot: object = None  # (E, 10) int32
+    macro_km: object = None  # (2, M, 3cap, 3cap) f32 — [K, M] macro blocks
     n_dofs: int = 0
 
     def _fix(self, y, x, fix):
@@ -130,14 +131,23 @@ class ElementOperators:
         """(K x, M x) for an f32 panel through ONE gather/scatter pass.
 
         The element matmuls are the cheap part of the apply (MXU); the random-row
-        gather + segment-sum dominate. K and M share the exact same incidence, so
-        fusing them halves that cost: one xe gather feeds both einsums, and the two
-        (E, 10, 3p) products concatenate into (E, 10, 6p) rows for a single
-        segment-sum."""
-        mb = self.rho_vol_f32[:, None, None] * self.m_unit.astype(jnp.float32)[None]
-        kx, mx = _apply_node_pair(self.elem_nodes, self.k_blocks_f32, mb, x, self.n_dofs)
+        gather + segment-sum dominate (row-rate-bound, ~24M rows/s on a v5e). K
+        and M share the exact same incidence, so fusing them halves that cost:
+        one gather feeds both einsums, and the two products concatenate into
+        6p-wide rows for a single segment-sum. With clustering baked (macro_km),
+        the pass runs at MACRO granularity — 2.4x fewer rows, MXU-filling blocks;
+        the macro blocks are the same f32 sums the element segment-sum would
+        compute, merely reassociated, so the f32 Gram/residual grade is
+        unchanged."""
         kf = self.k_fix.astype(jnp.float32)
         mf = self.m_fix.astype(jnp.float32)
+        if self.macro_km is not None:
+            kx, mx = _apply_node_pair(self.macro_nodes, self.macro_km[0],
+                                      self.macro_km[1], x, self.n_dofs)
+        else:
+            mb = self.rho_vol_f32[:, None, None] * self.m_unit.astype(jnp.float32)[None]
+            kx, mx = _apply_node_pair(self.elem_nodes, self.k_blocks_f32, mb, x,
+                                      self.n_dofs)
         return self._fix(kx, x, kf), self._fix(mx, x, mf)
 
 
@@ -146,7 +156,7 @@ jax.tree_util.register_dataclass(
     data_fields=(
         "elem_dofs", "elem_nodes", "k_blocks", "k_blocks_f32", "k_lo", "rho_vol",
         "rho_vol_f32", "m_unit", "k_fix", "m_fix", "macro_nodes", "elem_macro",
-        "elem_slot",
+        "elem_slot", "macro_km",
     ),
     meta_fields=("n_dofs",),
 )
@@ -217,21 +227,28 @@ def _bake_shifted_blocks(k_blocks_f32, rho_vol_f32, m_unit, k_fix, m_fix, sigma)
 
 
 @partial(jax.jit, static_argnames=("n_macro", "cap"))
-def _bake_macro_blocks(a_blocks, elem_macro, elem_slot, n_macro: int, cap: int):
-    """Aggregate element blocks into (M, 3cap, 3cap) macro blocks on device.
+def _bake_macro_blocks(blocks, elem_macro, elem_slot, n_macro: int, cap: int):
+    """Aggregate element blocks into (S?, M, 3cap, 3cap) macro blocks on device.
 
-    Scatter at NODE-PAIR granularity — (E*100, 9) rows of per-pair (3,3) payloads
-    into M*cap^2 segments — the same row-rate discipline as the apply itself
-    (an entry-granular scatter would move 9x the rows for the same bytes)."""
-    e = a_blocks.shape[0]
-    pair = a_blocks.reshape(e, 10, 3, 10, 3).transpose(0, 1, 3, 2, 4)  # (E,10,10,3,3)
+    `blocks` is (E, 30, 30) or stacked (S, E, 30, 30) — K and M share the slot
+    incidence, so stacking shares the scatter. Scatter at NODE-PAIR granularity —
+    (E*100, S*9) rows of per-pair (3,3) payloads into M*cap^2 segments — the same
+    row-rate discipline as the apply itself (an entry-granular scatter would move
+    9x the rows for the same bytes)."""
+    stacked = blocks.ndim == 4
+    if not stacked:
+        blocks = blocks[None]
+    s, e = blocks.shape[0], blocks.shape[1]
+    pair = blocks.reshape(s, e, 10, 3, 10, 3).transpose(1, 2, 4, 0, 3, 5)
     ids = (elem_macro[:, None, None].astype(jnp.int32) * (cap * cap)
            + elem_slot[:, :, None] * cap + elem_slot[:, None, :])  # (E,10,10)
     acc = jax.ops.segment_sum(
-        pair.reshape(e * 100, 9), ids.reshape(-1), num_segments=n_macro * cap * cap
+        pair.reshape(e * 100, s * 9), ids.reshape(-1),
+        num_segments=n_macro * cap * cap,
     )
-    mb = acc.reshape(n_macro, cap, cap, 3, 3).transpose(0, 1, 3, 2, 4)
-    return mb.reshape(n_macro, 3 * cap, 3 * cap).astype(jnp.bfloat16)
+    mb = acc.reshape(n_macro, cap, cap, s, 3, 3).transpose(3, 0, 1, 4, 2, 5)
+    mb = mb.reshape(s, n_macro, 3 * cap, 3 * cap)
+    return mb if stacked else mb[0]
 
 
 def bake_shifted_f32(ops: ElementOperators, sigma: float) -> ShiftedElementOperator:
@@ -245,9 +262,16 @@ def bake_shifted_f32(ops: ElementOperators, sigma: float) -> ShiftedElementOpera
     macro_bf = None
     if ops.macro_nodes is not None:
         macro_nodes = ops.macro_nodes
-        n_macro, cap = macro_nodes.shape
-        macro_bf = _bake_macro_blocks(a, ops.elem_macro, ops.elem_slot,
-                                      int(n_macro), int(cap))
+        if ops.macro_km is not None:
+            # The macro K/M pair is already baked; the shift is linear in it.
+            macro_bf = jax.jit(
+                lambda km, s: (km[0] - s * km[1]).astype(jnp.bfloat16)
+            )(ops.macro_km, jnp.float32(sigma))
+        else:
+            n_macro, cap = macro_nodes.shape
+            macro_bf = _bake_macro_blocks(
+                a, ops.elem_macro, ops.elem_slot, int(n_macro), int(cap)
+            ).astype(jnp.bfloat16)
     return ShiftedElementOperator(ops.elem_nodes, a, a_bf, fix, macro_nodes,
                                   macro_bf, ops.n_dofs)
 
@@ -337,23 +361,23 @@ def _apply_node_bf16(group_nodes, blocks_bf16, x, n_dofs):
     return y[:, 0] if squeeze else y
 
 
-def _apply_node_pair(elem_nodes, k_blocks, m_blocks, x, n_dofs):
+def _apply_node_pair(group_nodes, k_blocks, m_blocks, x, n_dofs):
     """(K x, M x) with one gather and one segment-sum (rows of width 6p): the two
-    element products concatenate along the row axis before the scatter. See
-    ElementOperators.kmmat_f32."""
+    products concatenate along the row axis before the scatter. Works at element
+    (K=10) or macro-element (K=cap) granularity — see ElementOperators.kmmat_f32."""
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
     p = x.shape[1]
     n_nodes = n_dofs // 3
-    e = elem_nodes.shape[0]
+    g, k = group_nodes.shape
     x3 = x.reshape(n_nodes, 3 * p)
-    xe = x3[elem_nodes].reshape(e, 30, p)
-    ye_k = jnp.einsum("eij,ejp->eip", k_blocks, xe).reshape(e, 10, 3 * p)
-    ye_m = jnp.einsum("eij,ejp->eip", m_blocks, xe).reshape(e, 10, 3 * p)
-    ye = jnp.concatenate([ye_k, ye_m], axis=2)  # (E, 10, 6p)
+    xe = x3[group_nodes].reshape(g, 3 * k, p)
+    ye_k = jnp.einsum("eij,ejp->eip", k_blocks, xe).reshape(g, k, 3 * p)
+    ye_m = jnp.einsum("eij,ejp->eip", m_blocks, xe).reshape(g, k, 3 * p)
+    ye = jnp.concatenate([ye_k, ye_m], axis=2)  # (G, K, 6p)
     y3 = jax.ops.segment_sum(
-        ye.reshape(e * 10, 6 * p), elem_nodes.reshape(-1), num_segments=n_nodes
+        ye.reshape(g * k, 6 * p), group_nodes.reshape(-1), num_segments=n_nodes
     )
     kx = y3[:, : 3 * p].reshape(n_dofs, p)
     mx = y3[:, 3 * p :].reshape(n_dofs, p)
@@ -572,6 +596,15 @@ def assemble_element_matrices(
 
     macro_nodes_np, elem_macro_np, elem_slot_np = cluster_tets(
         np.asarray(quad.element_nodes))
+    elem_macro_d = jnp.asarray(elem_macro_np)
+    elem_slot_d = jnp.asarray(elem_slot_np)
+    # Macro K/M blocks for the fused kmmat pass (same f32 sums the element
+    # segment-sum computes, reassociated — see kmmat_f32).
+    m_blocks_f32 = (rho_vol.astype(jnp.float32)[:, None, None]
+                    * m_unit.astype(jnp.float32)[None])
+    macro_km = _bake_macro_blocks(
+        jnp.stack([k_hi, m_blocks_f32]), elem_macro_d, elem_slot_d,
+        int(macro_nodes_np.shape[0]), int(macro_nodes_np.shape[1]))
     return ElementOperators(
         elem_dofs=elem_dofs,
         elem_nodes=nodes,
@@ -584,8 +617,9 @@ def assemble_element_matrices(
         k_fix=k_fix,
         m_fix=m_fix,
         macro_nodes=jnp.asarray(macro_nodes_np),
-        elem_macro=jnp.asarray(elem_macro_np),
-        elem_slot=jnp.asarray(elem_slot_np),
+        elem_macro=elem_macro_d,
+        elem_slot=elem_slot_d,
+        macro_km=macro_km,
         n_dofs=n_dofs,
     )
 

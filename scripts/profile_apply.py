@@ -2,9 +2,25 @@
 
 Dissects one `ElementOperators.kmmat_f32` into its stages (gather, element matmul,
 scatter) and times candidate restructurings, to direct optimization of the
-eigensolver's wall-clock dominant op (VERDICT r3 #1a: the apply is <1% MFU).
+eigensolver's wall-clock dominant op.
 
-Run on the TPU: `python scripts/profile_apply.py [panel_width]`.
+ROUND-5 FINDINGS (from the since-deleted probe_* scripts; kept here as the apply
+perf playbook):
+- The apply is ROW-RATE-bound, not byte-bound: v5e gather AND segment-sum both run
+  ~24M rows/s nearly independent of row width (bf16 rows bought ~12%, not 2x).
+  The wins that worked cut ROWS: node-granularity rows (r3, 1.5x), macro-element
+  clustering (r5, fem/cluster.py, 2.4x fewer rows -> amat_pc 8.7 -> 4.6 ms), and
+  node-granular AMG transfers (r5, 6x fewer restriction/prolongation rows).
+- Pallas cannot help here today: Mosaic's gather lowering (tpu.dynamic_gather)
+  rejects tables with multiple vregs along the gather dimension, so arbitrary
+  in-kernel row gathers are unsupported; usable VMEM measured ~16 MB.
+- Dense-tile (BCSR) reformulations lose: 3D meshes at 128-512-dof tiles fill
+  2-4% -> 9-36x flop/storage waste even under RCM ordering.
+- The (C,30,30)@(C,30,p) batched matmul runs ~1.4 TFLOP/s (tiny contraction);
+  macro blocks at (144,144) fill the MXU far better.
+
+Run on the TPU: `python scripts/profile_apply.py [panel_width]`;
+see also scripts/profile_iter.py for the whole-iteration breakdown.
 """
 
 import sys

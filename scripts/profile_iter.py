@@ -65,12 +65,12 @@ def main():
     t = timeit(j(ops.kmmat_f32), x)
     print(f"kmmat_f32 fused K+M:         {t*1e3:7.2f} ms", flush=True)
 
-    pcg = j(lambda b: _pcg_block(shifted.amat_pc, pre, b, 24))
+    pcg = j(lambda b: _pcg_block(shifted.amat_pc, pre, b, 10))
     t = timeit(pcg, x, n=3)
-    print(f"inner PCG x24 (amat_pc+AMG): {t*1e3:7.2f} ms", flush=True)
-    pcg32 = j(lambda b: _pcg_block(shifted.amat, pre, b, 24))
+    print(f"inner PCG x10 (amat_pc+AMG): {t*1e3:7.2f} ms", flush=True)
+    pcg32 = j(lambda b: _pcg_block(shifted.amat, pre, b, 10))
     t = timeit(pcg32, x, n=3)
-    print(f"inner PCG x24 (amat f32):    {t*1e3:7.2f} ms", flush=True)
+    print(f"inner PCG x10 (amat f32):    {t*1e3:7.2f} ms", flush=True)
 
     cc = j(lambda r: pre._coarse_correct(r))
     t = timeit(cc, x)
@@ -93,6 +93,22 @@ def main():
     t = timeit(fold, a, b, n=5)
     print(f"_rr_fold (3p={3*p}):         {t*1e3:7.2f} ms", flush=True)
 
+    # fold internals
+    from mesheditor_tpu.solve.eigs import _ns_inv_sqrt
+    from mesheditor_tpu.solve.lobpcg import _refine_sym
+
+    g32 = (a / jnp.max(jnp.abs(a))).astype(jnp.float32)
+    t = timeit(j(lambda m: jnp.linalg.eigh(m)[1]), g32, n=5)
+    print(f"  eigh f32 ({3*p})^2:        {t*1e3:7.2f} ms", flush=True)
+    t = timeit(j(_ns_inv_sqrt), a, n=5)
+    print(f"  _ns_inv_sqrt ({3*p})^2:    {t*1e3:7.2f} ms", flush=True)
+    v0 = jnp.linalg.eigh(g32)[1].astype(jnp.float64)
+    t = timeit(j(lambda g, v: _refine_sym(g, v)), a / jnp.max(jnp.abs(a)), v0, n=5)
+    print(f"  _refine_sym x2 ({3*p})^2:  {t*1e3:7.2f} ms", flush=True)
+    g265 = g32[:p, :p]
+    t = timeit(j(lambda m: jnp.linalg.eigh(m)[1]), g265, n=5)
+    print(f"  eigh f32 ({p})^2:          {t*1e3:7.2f} ms", flush=True)
+
     # one full production iteration for the total
     from mesheditor_tpu.solve.eigs import _init_stage, _iter_stage
 
@@ -101,7 +117,7 @@ def main():
 
     def one_iter(s, ks, ms, a, b, c):
         return _iter_stage(ops, shifted, pre, s, ks, ms, a, b, c,
-                           pre.rigid, pre.m_rigid, 24, sig_d, refresh=False, lock=0)
+                           pre.rigid, pre.m_rigid, 10, sig_d, refresh=False, lock=0)
 
     t = timeit(one_iter, s0, ks0, ms0, a0, b0, c0, n=3)
     print(f"FULL _iter_stage:            {t*1e3:7.2f} ms", flush=True)

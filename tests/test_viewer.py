@@ -202,3 +202,37 @@ class TestPhysicsInspector:
         # The edits went through the action log: replay reproduces them byte-exact.
         v = app.verify()
         assert v["byte_exact"], v
+
+
+class TestGenericInspector:
+    """The generated per-entity inspector (FieldEdit reflection over every
+    registered component) + the field_edit event through the action system."""
+
+    def test_inspect_lists_components_with_limits(self, tmp_path):
+        app = make_app(tmp_path)
+        st = app.handle({"type": "add", "kind": "cuboid"})
+        ent = st["objects"][0]["entity"]
+        app.handle({"type": "click_entity", "entity": ent})
+        p = app.inspect(ent)
+        assert p["entity"] == ent and p["components"], p
+        assert "Name" in p["components"]
+        # Attach audio-ish components and see them appear with limits.
+        app.handle({"type": "field_edit", "entity": ent,
+                    "component": "ModalGainComponent", "field": "value",
+                    "value": 2.0})
+        p = app.inspect(ent)
+        row = p["components"]["ModalGainComponent"][0]
+        assert row["value"] == 2.0 and row["limits"] == [0.0, 10.0]
+
+    def test_field_edit_clamps_and_replays(self, tmp_path):
+        app = make_app(tmp_path)
+        st = app.handle({"type": "add", "kind": "cuboid"})
+        ent = st["objects"][0]["entity"]
+        app.handle({"type": "field_edit", "entity": ent,
+                    "component": "ModalGainComponent", "field": "value",
+                    "value": 99.0})
+        from mesheditor_tpu.scene.components import ModalGainComponent
+
+        assert app.registry.get(ent, ModalGainComponent).value == 10.0  # clamped
+        v = app.verify()
+        assert v["byte_exact"], v
