@@ -745,7 +745,20 @@ def build_amg(
     # Smoothed-aggregation transfer damping: the textbook 4/(3 rho(D^-1 A))
     # (see AmgPrecond.sa). Costs two A-applies per coarse correction; buys the
     # interpolation accuracy plain aggregation lacks on irregular CDT meshes.
-    sa_omega = (4.0 / 3.0) * float(omega) * 1.05 if sa == "auto" else float(sa)
+    # ADAPTIVE: measured on a v5e, SA is a 15% iterate win on the CDT torus
+    # (element volume p90/p10 = 2.0) and a 20% LOSS on the uniform bench box
+    # (ratio = 1.00) — the extra applies only pay where element sizes are
+    # heterogeneous enough to starve plain aggregation, so the volume spread
+    # picks the mode (threshold 1.5 separates the measured regimes; structured
+    # grids sit at ~1.0, conforming-Delaunay output at ~2+).
+    if sa == "auto":
+        vols = np.asarray(ops.rho_vol_f32)
+        live = vols[vols > 0]
+        hetero = (float(np.percentile(live, 90)) / max(float(np.percentile(live, 10)), 1e-30)
+                  if live.size else 1.0)
+        sa_omega = (4.0 / 3.0) * float(omega) * 1.05 if hetero > 1.5 else 0.0
+    else:
+        sa_omega = float(sa)
     return AmgPrecond(
         agg6=agg6_d,
         w=w32_d,

@@ -1,8 +1,12 @@
 """Break ONE production eigensolver outer iteration into its timed constituents on
-the live backend, at bench shapes: the f32/bf16 shifted applies, the fused K/M
-apply, inner-PCG (24 iters), AMG coarse correction, CholQR, Grams, and the fold-RR.
-Directs the round-5 perf push (the bf16 inner-PCG operator measured ZERO end-to-end
-gain — find out why).
+the live backend, at bench shapes: the f32/bf16/macro shifted applies, the fused
+K/M apply, inner-PCG (production 10 iters), AMG coarse correction, CholQR, Grams,
+the fold-RR, and the fold's internals (eigh / Newton-Schulz / refinement).
+
+Round-5 reference numbers on one v5e (bench box, inner=10, macro clustering):
+FULL iteration 182 ms = 86 PCG (10 x [4.6 macro apply + coarse 3 + misc]) +
+47 fold (26 eigh-795 + 12 NS + 9 refine) + ~49 basis upkeep (kmmat on W, 2x
+CholQR, grams). History: 409 ms (r4) -> 381 (node-granular AMG) -> 182 (macro).
 
 Run: python scripts/profile_iter.py
 """
