@@ -141,13 +141,14 @@ class ElementOperators:
         unchanged."""
         kf = self.k_fix.astype(jnp.float32)
         mf = self.m_fix.astype(jnp.float32)
-        if self.macro_km is not None:
-            kx, mx = _apply_node_pair(self.macro_nodes, self.macro_km[0],
-                                      self.macro_km[1], x, self.n_dofs)
-        else:
-            mb = self.rho_vol_f32[:, None, None] * self.m_unit.astype(jnp.float32)[None]
-            kx, mx = _apply_node_pair(self.elem_nodes, self.k_blocks_f32, mb, x,
-                                      self.n_dofs)
+        # Element form, NOT macro: measured on the bench box, the macro-form pass
+        # saves ~9 ms/iteration but its reassociated Gram roundoff shifted the
+        # settling path by +1-2 outer iterations (~0.3-0.4 s) — a net loss. The
+        # macro form stays where roundoff is free: the preconditioner
+        # (ShiftedElementOperator.amat_pc).
+        mb = self.rho_vol_f32[:, None, None] * self.m_unit.astype(jnp.float32)[None]
+        kx, mx = _apply_node_pair(self.elem_nodes, self.k_blocks_f32, mb, x,
+                                  self.n_dofs)
         return self._fix(kx, x, kf), self._fix(mx, x, mf)
 
 
@@ -536,6 +537,37 @@ def _build_k_blocks_host(points, tets, grad_tab, lam, mu):
     return k, volume
 
 
+@partial(jax.jit, static_argnames=("n_dofs",))
+def _orphan_fixes(k_blocks, rho_vol, m_unit, elem_dofs, n_dofs: int):
+    """Orphan-dof parking diagonals, computed ON DEVICE (the round-4 host version
+    downloaded the (E, 30) diagonal panel through the tunnel every solve).
+
+    Parking must be SCALE-AWARE: parking at k/m = 1e20 (round 1) made the parked
+    directions' Gram entries ~1e20, whose float32 rounding noise (~1e13) is the
+    size of the real spectrum and poisons the f32 Rayleigh-Ritz with huge spurious
+    negative Ritz values. Parking at ~100x the pencil's own lambda_max keeps
+    orphans sorted far above the audible window at healthy f32 magnitudes."""
+    ids = elem_dofs.reshape(-1)
+    k_diag_e = jnp.diagonal(k_blocks, axis1=1, axis2=2).reshape(-1)
+    m_diag_e = (rho_vol[:, None] * jnp.diagonal(m_unit)[None, :]).reshape(-1)
+    k_diag = jax.ops.segment_sum(k_diag_e, ids, num_segments=n_dofs)
+    m_diag = jax.ops.segment_sum(m_diag_e, ids, num_segments=n_dofs)
+    touched = jax.ops.segment_sum(jnp.ones_like(ids, jnp.float32), ids,
+                                  num_segments=n_dofs) > 0
+    live = touched & (m_diag > 0)
+    any_live = jnp.any(live)
+    ratio = jnp.where(live, k_diag / jnp.where(live, m_diag, 1.0), 0.0)
+    lam_est = jnp.where(any_live, jnp.max(ratio), 1.0)
+    m_scale = jnp.where(
+        any_live,
+        jnp.nanmedian(jnp.where(live, m_diag, jnp.nan)),
+        1.0,
+    )
+    k_fix = jnp.where(touched, 0.0, 100.0 * lam_est * m_scale)
+    m_fix = jnp.where(touched, 0.0, m_scale)
+    return k_fix, m_fix
+
+
 def assemble_element_matrices(
     points: np.ndarray,
     tets: np.ndarray,
@@ -567,28 +599,9 @@ def assemble_element_matrices(
     nodes = jnp.asarray(quad.element_nodes.astype(np.int32))
     elem_dofs = (3 * nodes[:, :, None] + jnp.arange(3, dtype=jnp.int32)).reshape(-1, 30)
     rho_vol = (material.density * volume).astype(dtype)
-    touched = np.zeros(n_dofs, bool)
-    touched[np.unique(np.asarray(elem_dofs).reshape(-1))] = True
-    # Orphan-dof parking must be SCALE-AWARE: parking at k/m = 1e20 (round 1) made the
-    # parked directions' Gram entries ~1e20, whose float32 rounding noise (~1e13) is
-    # the size of the real spectrum and poisons the f32 Rayleigh-Ritz with huge
-    # spurious negative Ritz values. Parking at ~100x the pencil's own lambda_max
-    # keeps orphans sorted far above the audible window at healthy f32 magnitudes.
-    k_diag_e = np.asarray(jnp.diagonal(k_blocks, axis1=1, axis2=2), np.float64)
-    m_diag_e = np.asarray(rho_vol, np.float64)[:, None] * np.diag(np.asarray(m_unit))[None, :]
-    flat_ids = np.asarray(elem_dofs).reshape(-1)
-    k_diag_raw = np.zeros(n_dofs)
-    m_diag_raw = np.zeros(n_dofs)
-    np.add.at(k_diag_raw, flat_ids, k_diag_e.reshape(-1))
-    np.add.at(m_diag_raw, flat_ids, m_diag_e.reshape(-1))
-    live = touched & (m_diag_raw > 0)
-    if live.any():
-        lam_est = float((k_diag_raw[live] / m_diag_raw[live]).max())
-        m_scale = float(np.median(m_diag_raw[live]))
-    else:
-        lam_est, m_scale = 1.0, 1.0
-    k_fix = jnp.asarray(np.where(touched, 0.0, 100.0 * lam_est * m_scale), dtype)
-    m_fix = jnp.asarray(np.where(touched, 0.0, m_scale), dtype)
+    k_fix, m_fix = _orphan_fixes(k_blocks, rho_vol, m_unit, elem_dofs, n_dofs)
+    k_fix = k_fix.astype(dtype)
+    m_fix = m_fix.astype(dtype)
     k_hi = k_blocks.astype(jnp.float32)
     # Macro-element clustering for the preconditioner apply (fem/cluster.py): a
     # 50 ms host pass that buys ~2.5x fewer gather/scatter rows per inner-PCG step.

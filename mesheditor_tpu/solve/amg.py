@@ -450,13 +450,13 @@ def _coarse_invert(ac):
     iteration count is ~log2(cond) + a quadratic tail.
 
     Mixed precision: Newton-Schulz is SELF-CORRECTING (each step squares the residual
-    I - A X down to the working precision's floor), so the log2(cond) climb runs in
-    full-f32 (the solver stages trace under 'highest' matmul precision — true f32 MXU
-    passes, ~16x cheaper than emulated f64), and four f64 steps at the end square the
-    ~1e-6 f32 floor to eps64-grade. Measured: the all-f64 70-step loop cost ~8 s at
-    4092^2 on a v5e; this runs in well under a second. Dead coarse dofs (zero rows
+    I - A X down to the working precision's floor), so the climb runs bf16 then a
+    short full-f32 tail to the ~1e-6 f32 floor — which IS the target precision,
+    because the inverse is returned and applied in f32 (AmgPrecond.apply); an f64
+    tail would be discarded by the cast. Measured: the all-f64 70-step loop cost
+    ~8 s at 4092^2 on a v5e; this runs in tens of ms. Dead coarse dofs (zero rows
     from degenerate aggregates) get unit diagonals; live dofs a relative nudge for
-    PD-ness. Returned f32 (the apply runs f32, see AmgPrecond.apply)."""
+    PD-ness."""
     nc = ac.shape[0]
     ac = 0.5 * (ac + ac.T)
     diag = jnp.diagonal(ac)
@@ -482,9 +482,9 @@ def _coarse_invert(ac):
     # The log2(cond) CLIMB is self-correcting, so it runs in bf16 (native MXU rate,
     # ~4x the f32 pass at this size): iterates stay bf16, products accumulate f32.
     # The bf16 residual floor (~1e-2) hands off to a short f32 tail that squares it
-    # to the f32 floor (~1e-6), and two f64 steps square THAT to ~1e-12 — same
-    # ladder as before with the expensive rungs shortened (measured 0.95 s -> ~0.3 s
-    # per build at nc=4096 on a v5e).
+    # to the f32 floor (~1e-6). No f64 tail: the inverse is RETURNED AND APPLIED in
+    # f32 (AmgPrecond.apply), so squaring 1e-6 down to 1e-12 in emulated f64
+    # (~0.2 s at 3840^2 on a v5e) bought literally nothing past the f32 cast.
     a_bf = a_s32.astype(jnp.bfloat16)
     x0_32 = jnp.eye(nc, dtype=jnp.float32) / nrm.astype(jnp.float32)
     x_bf = x0_32.astype(jnp.bfloat16)
@@ -524,16 +524,29 @@ def _coarse_invert(ac):
         lambda _: jax.lax.fori_loop(0, 60, body32, x0_32),
         x32,
     )
-    x = x32.astype(ac.dtype)
-    eye2 = 2.0 * jnp.eye(nc, dtype=ac.dtype)
+    # CONDITIONAL f64 tail: the f32 Newton-Schulz floor scales with conditioning
+    # (~eps32 * cond — measured max-residual 9e-3 at cond 1e4, 0.56 at 1e5), so
+    # well-conditioned operators (the rigid-lifted production case, cond ~8e2,
+    # floor ~1e-4) skip the ~0.2 s of emulated-f64 3840^2 matmuls entirely, while
+    # high-conditioning pencils square their floor down through two f64 steps
+    # before the f32 cast (the cast keeps VALUES at 1e-7 relative — it cannot
+    # repair an inaccurately ITERATED inverse, which is why the tail exists).
+    res32b = jnp.mean(jnp.square(jnp.eye(nc, dtype=jnp.float32) - a_s32 @ x32))
+    eye2 = 2.0 * jnp.eye(nc, dtype=a_s.dtype)
 
-    def body64(_, x):
-        ax = a_s @ x
-        x = x @ (eye2 - ax)
-        return 0.5 * (x + x.T)
+    def tail64(x32_in):
+        x = x32_in.astype(a_s.dtype)
 
-    x = jax.lax.fori_loop(0, 2, body64, x)
-    return (x * dinv_sqrt[:, None] * dinv_sqrt[None, :]).astype(jnp.float32)
+        def body64(_, x):
+            ax = a_s @ x
+            x = x @ (eye2 - ax)
+            return 0.5 * (x + x.T)
+
+        return jax.lax.fori_loop(0, 2, body64, x).astype(jnp.float32)
+
+    x32 = jax.lax.cond(res32b > 2.5e-7, tail64, lambda x: x, x32)
+    dinv32 = dinv_sqrt.astype(jnp.float32)
+    return x32 * dinv32[:, None] * dinv32[None, :]
 
 
 @jax.jit
