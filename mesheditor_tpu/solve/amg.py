@@ -641,20 +641,24 @@ def _restrict(w, agg6, nagg: int, x):
 
 @partial(jax.jit, static_argnames=("seed_dim",))
 def _dinv_a_radius(shifted, inv_diag, seed_dim):
-    """Spectral radius of D^-1 A by power iteration (f32, device). The Jacobi smoother
+    """Spectral radius of D^-1 A by power iteration (device). The Jacobi smoother
     x <- x + omega*D^-1 r is contractive only for omega < 2/rho; for quadratic tets
     rho(D^-1 K) routinely exceeds 2, so a fixed textbook omega makes the V-cycle
-    DIVERGENT and the PCG wrapped around it blows up. 12 iterations of power iteration
-    over a small panel pin rho to a few percent, plenty for a safe margin."""
+    DIVERGENT and the PCG wrapped around it blows up. 12 iterations of power
+    iteration over a small panel pin rho to a few percent, plenty for the 5%
+    safety margin — which is also why the applies run through amat_pc (the
+    bf16-traffic macro form, ~2ms vs ~10ms for narrow panels): a 1e-2 operator
+    perturbation moves rho well inside the margin, and the f32-element version
+    measured 0.58 s of the factorize budget."""
     z = jax.random.normal(jax.random.PRNGKey(7), (inv_diag.shape[0], seed_dim),
                           dtype=jnp.float32)
 
     def body(_, z):
-        y = inv_diag[:, None] * shifted.amat(z)
+        y = inv_diag[:, None] * shifted.amat_pc(z)
         return y / jnp.maximum(jnp.linalg.norm(y, axis=0, keepdims=True), 1e-30)
 
     z = jax.lax.fori_loop(0, 12, body, z)
-    y = inv_diag[:, None] * shifted.amat(z)
+    y = inv_diag[:, None] * shifted.amat_pc(z)
     return jnp.max(jnp.linalg.norm(y, axis=0))
 
 
