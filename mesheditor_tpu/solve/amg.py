@@ -865,7 +865,7 @@ def _prolongate_deflated(w, agg6, rigid, m_rigid, yc):
 
 
 def spectral_seed(amg: AmgPrecond, p: int, *, seed: int = 20260710,
-                  guard: int = 128, iters: int = 20):
+                  guard: int = 128, iters: int = 32):
     """(n_dofs, p) f32 starting panel for the outer eigensolver: prolongated coarse
     Ritz vectors, rigid-deflated. None when the coarse space is too small to supply
     p useful columns (the caller falls back to a random start)."""
